@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose the SURVEY.md §2 operator surface
+over /root/testdata with DuckDB oracle twins.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
+if _SRC not in sys.path:
+    sys.path.insert(0, _SRC)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap the driver's flat ``documents`` table into the
+    interleaved span-array shape of BASELINE.json input_hint: each row
+    becomes one document whose payload is routed to an html / pdf_layout /
+    text input span by doc_id, plus a trailing media span for every third
+    document."""
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    payload = F.col("text")
+    html_payload = F.concat(
+        F.lit("<html><body><nav><a href='/home'>home home home</a></nav><article><p>"),
+        payload,
+        F.lit("</p></article><footer><p>copyright footer boilerplate text</p></footer></body></html>"),
+    )
+    kind = F.element_at(
+        F.array(F.lit("text"), F.lit("html"), F.lit("pdf_layout")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    first_span = F.struct(
+        kind.alias("kind"),
+        F.when(kind == "html", html_payload).otherwise(payload).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/1")).alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    spans = F.when(F.col("doc_id") % 3 == 0, F.array(first_span, media_span)).otherwise(
+        F.array(first_span)
+    )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved corpus (from sf0.001 documents) → deterministic
+    span extraction via Arrow-batched mapInPandas → exploded output spans."""
+    from sparkextract.spark.job import extract_exploded
+
+    docs = _interleaved_docs(spark, "/root/testdata/sf0.001")
+    return extract_exploded(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparkextract.queries.registry import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparkextract.queries.registry import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

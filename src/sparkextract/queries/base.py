@@ -1,0 +1,44 @@
+"""Query registry plumbing for the driver contract.
+
+Each query is a named pair: a Spark callable ``(spark, sf_dir) ->
+DataFrame`` and (where SQL-expressible) a DuckDB oracle SQL string over
+the same parquet tables. Numeric discipline, so value hashes match across
+engines:
+
+- double sums go through ``DECIMAL(18,4)`` per-element casts (exact,
+  order-independent addition) and back to DOUBLE at the end;
+- averages are exact decimal sums divided as DOUBLE (one IEEE division);
+- timestamps are projected as epoch seconds or ISO date strings;
+- every LIMIT carries a full tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a Spark query and its optional DuckDB twin."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dsum(col_sql: str) -> str:
+    """DuckDB-side decimal-exact sum rendered back to double."""
+    return f"CAST(SUM(CAST({col_sql} AS DECIMAL(18,4))) AS DOUBLE)"

@@ -1,0 +1,166 @@
+"""Checkpoint manifest: per-bucket lineage + metrics, idempotent resume.
+
+Emulates Iceberg snapshot-commit semantics on plain parquet (no Iceberg
+jars in the sandbox — SURVEY.md §7.4.3): output data lands under
+``data/epoch=<run_id>/bucket=<k>/`` and becomes *visible* only when a
+manifest row ``(job_run_id, doc_id_bucket, status='done', metrics...)``
+is appended. Readers semi-join data against the manifest, keeping one
+epoch per bucket, so a run that dies after writing data but before
+committing its manifest rows leaves invisible files, and the rerun
+reprocesses those buckets exactly once (FIXTURES.md F3 resume test).
+
+The resume probe is the reference's SHA-256 skip-if-ingested check
+(/root/reference/src/rag/rag_pipeline.py:97-105) generalized from
+per-document to per-bucket: a left-anti join against completed buckets
+(J2, SURVEY.md §2.3).
+
+On a real cluster the same API is backed by an Iceberg manifest table
+(``df.writeTo(...).append()`` is atomic per snapshot); the bucket math
+``pmod(xxhash64(doc_id), N)`` is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkextract import config
+from sparkextract.schema import MANIFEST_SCHEMA
+from sparkextract.spark.job import extract_exploded
+
+
+def bucket_expr(num_buckets: int = config.MANIFEST_NUM_BUCKETS):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "manifest")
+
+
+def _data_dir(root: str) -> str:
+    return os.path.join(root, "data")
+
+
+def read_manifest(spark: SparkSession, root: str) -> DataFrame:
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(mdir)
+    ):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(mdir)
+
+
+def done_buckets(spark: SparkSession, root: str) -> DataFrame:
+    """One row per completed bucket; earliest commit wins (idempotency
+    under concurrent/duplicated runs)."""
+    m = read_manifest(spark, root).filter(F.col("status") == "done")
+    return m.groupBy("doc_id_bucket").agg(
+        F.min_by("job_run_id", "committed_at").alias("job_run_id")
+    )
+
+
+def filter_todo(
+    docs: DataFrame, spark: SparkSession, root: str, num_buckets: int = config.MANIFEST_NUM_BUCKETS
+) -> DataFrame:
+    """J2: drop documents whose bucket is already committed. The done-
+    bucket set is tiny (<= num_buckets rows) → broadcast anti-join, no
+    shuffle of the big side."""
+    done = done_buckets(spark, root).select("doc_id_bucket")
+    return (
+        docs.withColumn("doc_id_bucket", bucket_expr(num_buckets))
+        .join(F.broadcast(done), "doc_id_bucket", "left_anti")
+    )
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    run_id: str | None = None,
+    num_buckets: int = config.MANIFEST_NUM_BUCKETS,
+    skew_threshold: int = config.MEGA_DOC_SPAN_THRESHOLD,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """One resumable run: anti-join manifest → extract → write → commit.
+
+    ``fail_after_buckets`` simulates a mid-job crash for the resume test:
+    only the first N buckets (by id) get manifest rows, mimicking a run
+    killed between data write and full commit.
+
+    Returns run metrics (docs/spans/tables processed, wall seconds).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    todo = filter_todo(docs, spark, root, num_buckets)
+    exploded = extract_exploded(todo.drop("doc_id_bucket"), skew_threshold=skew_threshold)
+    exploded = exploded.withColumn("bucket", bucket_expr(num_buckets))
+
+    out_dir = os.path.join(_data_dir(root), f"epoch={run_id}")
+    (
+        exploded.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+    # per-bucket lineage + metrics (north_rule: per-partition lineage and
+    # span-count/table-count metrics). Includes empty-output docs via the
+    # todo side so wholly-filtered buckets still commit.
+    written = spark.read.parquet(out_dir)
+    doc_buckets = (
+        todo.select("doc_id", "doc_id_bucket")
+        .groupBy("doc_id_bucket").agg(F.countDistinct("doc_id").alias("doc_count"))
+    )
+    span_stats = written.groupBy(F.col("bucket").alias("doc_id_bucket")).agg(
+        F.count("*").alias("span_count"),
+        F.sum((F.col("kind") == config.KIND_TABLE).cast("long")).alias("table_count"),
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    stats = (
+        doc_buckets.join(span_stats, "doc_id_bucket", "left")
+        .na.fill({"span_count": 0, "table_count": 0})
+        .withColumn("job_run_id", F.lit(run_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .withColumn("committed_at", F.current_timestamp())
+        .select([f.name for f in MANIFEST_SCHEMA.fields])
+    )
+    if fail_after_buckets is not None:
+        keep = [
+            r[0]
+            for r in sorted(stats.select("doc_id_bucket").collect())[:fail_after_buckets]
+        ]
+        stats = stats.filter(F.col("doc_id_bucket").isin(keep))
+
+    stats.coalesce(1).write.mode("append").parquet(_manifest_dir(root))
+
+    committed = stats.agg(
+        F.sum("doc_count"), F.sum("span_count"), F.sum("table_count")
+    ).collect()[0]
+    return {
+        "run_id": run_id,
+        "docs": int(committed[0] or 0),
+        "spans": int(committed[1] or 0),
+        "tables": int(committed[2] or 0),
+        "wall_s": time.time() - t0,
+    }
+
+
+def read_extracted(spark: SparkSession, root: str) -> DataFrame:
+    """Committed output only: semi-join data files against the manifest's
+    winning (bucket, epoch) pairs."""
+    ddir = _data_dir(root)
+    data = spark.read.option("basePath", ddir).parquet(ddir)
+    data = data.withColumn("epoch", F.regexp_extract(F.input_file_name(), r"epoch=([^/]+)/", 1))
+    wins = done_buckets(spark, root).select(
+        F.col("doc_id_bucket").alias("bucket"), F.col("job_run_id").alias("epoch")
+    )
+    return (
+        data.join(F.broadcast(wins), ["bucket", "epoch"], "left_semi")
+        .select("doc_id", "kind", "text", "media_ref", "offset")
+    )

@@ -1,0 +1,97 @@
+"""Tests for the extension modules: multimodal plumbing, streaming
+incremental ingest, confidence metrics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkextract.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("sparkextract-ext-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_featurize_and_dedup(spark):
+    from sparkextract.spark.multimodal import MEDIA_SCHEMA, featurize_media, media_dedup
+
+    rows = [
+        ("m1", "d1", "image", b"payload-a", 10, 10),
+        ("m2", "d1", "image", b"payload-a", 10, 10),   # exact dup of m1
+        ("m3", "d2", "audio", b"payload-b", None, None),
+        ("m4", "d2", "pdf",   b"payload-c", None, None),  # no decoder
+        ("m5", "d3", "video", b"", None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = featurize_media(media).cache()
+    got = {r["media_id"]: r for r in feats.collect()}
+
+    assert got["m1"]["decode_ok"] and len(got["m1"]["feature"]) == 16
+    # deterministic stub: same payload -> same feature vector
+    assert got["m1"]["feature"] == got["m2"]["feature"]
+    assert got["m1"]["content_hash"] == got["m2"]["content_hash"]
+    # unknown media type -> decode_ok False, feature NULL (stubbed decoder)
+    assert not got["m4"]["decode_ok"] and got["m4"]["feature"] is None
+    assert got["m1"]["n_bytes"] == 9 and got["m5"]["n_bytes"] == 0
+
+    kept = media_dedup(feats).select("media_id").rdd.map(lambda r: r[0]).collect()
+    assert "m1" in kept and "m2" not in kept  # lowest media_id wins at equal size
+    assert len(kept) == 4
+
+
+# ------------------------------------------------------------- streaming
+def test_incremental_extract_resume(spark, tmp_path):
+    """File-granular exactly-once: run AvailableNow twice, second batch of
+    files is processed exactly once, first is never re-extracted."""
+    from sparkextract.spark.datagen import corpus_df
+    from sparkextract.streaming.incremental import incremental_extract
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus_df(spark, 30, seed=42, partitions=2).write.mode("append").parquet(inp)
+    q = incremental_extract(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(outp).count()
+    assert n1 > 0
+
+    # new files arrive
+    corpus_df(spark, 30, seed=43, partitions=2).write.mode("append").parquet(inp)
+    q = incremental_extract(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    n2 = out.count()
+    assert n2 > n1
+    # no doc extracted twice: (doc_id, offset) unique
+    assert out.groupBy("doc_id", "offset").count().filter(F.col("count") > 1).count() == 0
+
+    # third run with nothing new: output unchanged
+    q = incremental_extract(spark, inp, outp, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == n2
+
+
+# ------------------------------------------------------------- metrics
+def test_confidence_exprs(spark):
+    from sparkextract.metrics import doc_summary, with_confidence
+    from sparkextract.spark.datagen import corpus_df
+    from sparkextract.spark.job import extract_exploded
+
+    out = extract_exploded(corpus_df(spark, 60, seed=42, partitions=4))
+    conf = with_confidence(out)
+    stats = conf.agg(
+        F.min("confidence").alias("lo"), F.max("confidence").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] and stats["hi"] <= 1.0
+
+    summary = doc_summary(out)
+    row = summary.orderBy("doc_id").first()
+    assert row["total_spans"] >= 1 and row["best_kind"] in (
+        "text", "table", "form", "image_ocr",
+    )
+    assert summary.filter(F.col("overall_conf") < 0).count() == 0

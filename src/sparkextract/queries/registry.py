@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import sparkextract.queries.dedup2  # noqa: F401
 import sparkextract.queries.extraction  # noqa: F401
 import sparkextract.queries.relational  # noqa: F401
 import sparkextract.queries.text  # noqa: F401
+import sparkextract.queries.text2  # noqa: F401
 import sparkextract.queries.vector  # noqa: F401
 from sparkextract.queries.base import ORACLE_SQL, SPARK_QUERIES
 

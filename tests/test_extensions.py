@@ -95,3 +95,28 @@ def test_confidence_exprs(spark):
         "text", "table", "form", "image_ocr",
     )
     assert summary.filter(F.col("overall_conf") < 0).count() == 0
+
+
+# ------------------------------------------------------------- wave3 queries
+def test_wave3_registered_with_oracles():
+    from sparkextract.queries.registry import ORACLE_SQL, SPARK_QUERIES
+
+    for name in (
+        "q44_media_featurize",
+        "q45_media_dedup",
+        "q46_ivf_topk",
+        "q47_retrieval_filters",
+    ):
+        assert name in SPARK_QUERIES and name in ORACLE_SQL
+
+
+def test_ivf_topk_probes_two_cells(spark):
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["q46_ivf_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    # every hit comes from one of the <=2 probed coarse cells
+    assert len({r["cell"] for r in rows}) <= 2
+    # scores sorted descending with vec_id tiebreak
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)

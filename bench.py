@@ -46,6 +46,8 @@ HEADLINE = [
     "q27_cosine_topk",
     "q28_lsh_buckets",
     "q40_extract_passthrough",
+    "q44_media_featurize",
+    "q46_ivf_topk",
 ]
 
 

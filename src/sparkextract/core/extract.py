@@ -103,7 +103,21 @@ def finalize(items: Iterable[Item]) -> list[Span]:
     /root/reference/src/table_extractor.py:144-152). Offsets are dense and
     0-based per document.
     """
-    ordered = sorted(items, key=lambda it: (config.KIND_RANK[it[0]], it[3], it[4]))
+    ordered = sorted(
+        items,
+        # (rank, src, sub) is unique for well-formed docs; the trailing
+        # (text, media_ref) tie-break makes the result a pure function of
+        # the item MULTISET even for malformed duplicate-offset inputs —
+        # required because the mega-doc path feeds items in shuffle-arrival
+        # order (job.py _finalize_group)
+        key=lambda it: (
+            config.KIND_RANK[it[0]],
+            it[3],
+            it[4],
+            it[1] or "",
+            it[2] or "",
+        ),
+    )
     seen: set[str] = set()
     spans: list[Span] = []
     for kind, text, media_ref, _src, _sub in ordered:
@@ -127,13 +141,21 @@ def extract_document(spans: Iterable[Mapping] | None) -> list[Span]:
     """Oracle entry point: raw input span array -> ordered output spans.
 
     Input spans are processed in their source ``offset`` order; a missing
-    or null array yields an empty output.
+    or null array yields an empty output. Duplicate offsets (malformed
+    input) tie-break on (kind, text, media_ref) so the output is a pure
+    function of the span *set* — never of the physical list order, which
+    Spark does not guarantee after a mega-doc split/reassemble.
     """
     if spans is None:
         return []
     ordered_in = sorted(
         (dict(s) for s in spans),
-        key=lambda s: (s.get("offset") if s.get("offset") is not None else 0),
+        key=lambda s: (
+            s.get("offset") if s.get("offset") is not None else 0,
+            s.get("kind") or "",
+            s.get("text") or "",
+            s.get("media_ref") or "",
+        ),
     )
     items: list[Item] = []
     for s in ordered_in:

@@ -193,13 +193,39 @@ def assemble_spans(exploded: DataFrame) -> DataFrame:
 
 def extract_documents(docs: DataFrame, **kwargs) -> DataFrame:
     """documents -> (doc_id, spans) extracted output, including docs whose
-    extraction is empty (empty array, matching the oracle)."""
+    extraction is empty (empty array, matching the oracle).
+
+    Zero-span docs are re-attached via a LEFT join from the doc_id list
+    into the exploded output *before* the group-assemble — one extraction
+    pass, one shuffle. (An anti-join against the assembled result would
+    reference the extraction subtree twice in the same plan, and Spark
+    recomputes unshared subtrees — at 100 TB that doubles the job.)
+    ``collect_list`` skips NULL elements, so unmatched docs fold to an
+    empty span array."""
     exploded = extract_exploded(docs, **kwargs)
-    assembled = assemble_spans(exploded)
-    # re-attach docs that produced zero spans (oracle yields [] for them)
-    empties = (
-        docs.select("doc_id")
-        .join(assembled.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("spans", F.expr("cast(array() as array<struct<kind:string,text:string,media_ref:string,offset:int>>)"))
+    joined = docs.select("doc_id").join(exploded, "doc_id", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("kind").isNotNull(),
+                        F.struct("offset", "kind", "text", "media_ref"),
+                    )
+                )
+            ).alias("_s")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_s",
+                lambda x: F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    x["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
     )
-    return assembled.unionByName(empties)

@@ -19,6 +19,7 @@ workers.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
@@ -151,8 +152,148 @@ class _Walker(HTMLParser):
         self._flush_block()
 
 
+# --------------------------------------------------------------------------
+# Fast tokenizer: html.parser.HTMLParser costs ~65 µs/tag of pure-Python
+# dispatch and dominates extraction wall time (77% in profile). For the
+# strict well-formed subset below we emit the IDENTICAL event stream with
+# one compiled regex; anything outside the subset returns None and the
+# caller falls back to HTMLParser. Faithfulness is enforced by a
+# differential test (tests/test_properties.py) comparing both paths on
+# corpus HTML and adversarial junk.
+#
+# Fast-path preconditions (else fallback):
+# - no "&" (charref conversion), no "<!"/"<?" (comments/decls/PIs);
+# - every "<" starts a tag matching _TAG_RE (no stray "<" data);
+# - end tags carry no attributes;
+# - start-tag attribute strings fully match _ATTR_RE (so quoted ">" or
+#   malformed attrs bail out rather than mis-tokenize);
+# - <script>/<style> bodies contain no "<" and are closed explicitly.
+
+# Quote-aware tag token: quoted attribute values may contain ">" (matching
+# HTMLParser's locatestarttagend behavior); an unquoted ">" ends the tag.
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"<]*\"|'[^'<]*'|[^<>])*)>"
+)
+_FORM_FIELD_TAGS = ("input", "select", "textarea")
+_NO_ATTRS: list = []
+_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"<>&]*)\"|'([^'<>&]*)'|([^\s\"'=<>`]+)))?"
+)
+_RAWTEXT_TAGS = ("script", "style")
+
+
+def _parse_attrs(astr: str) -> list[tuple[str, str | None]] | None:
+    """Full-consumption attr parse; None = outside the strict subset."""
+    attrs: list[tuple[str, str | None]] = []
+    pos = 0
+    while pos < len(astr):
+        if astr[pos:].isspace():
+            break
+        m = _ATTR_RE.match(astr, pos)
+        if m is None:
+            return None
+        name = m.group(1).lower()
+        value = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        attrs.append((name, value))
+        pos = m.end()
+    return attrs
+
+
+def _fast_feed(html: str, walker: _Walker) -> bool:
+    """Drive the walker via the fast tokenizer. True on success; False =
+    input outside the strict subset (caller must use HTMLParser)."""
+    if "&" in html or "<!" in html or "<?" in html:
+        return False
+    events: list[tuple] = []
+    pos = 0
+    n = len(html)
+    find = html.find
+    while pos < n:
+        k = find("<", pos)
+        if k < 0:
+            events.append((2, html[pos:], None))
+            break
+        if k > pos:
+            events.append((2, html[pos:k], None))
+        m = _TAG_RE.match(html, k)
+        if m is None:
+            return False  # stray "<" — HTMLParser would data-ify it
+        closing, tag, astr = m.group(1, 2, 3)
+        tag = tag.lower()
+        pos = m.end()
+        # the tag name must be delimited: anything glued to it (e.g.
+        # "<a-b>", "<a'x'>") is part of HTMLParser's tolerant tag-name /
+        # attr grammar — bail rather than mis-name the tag
+        if astr and astr != "/" and astr[0] not in " \t\n\r\f":
+            return False
+        if closing:
+            if astr and not astr.isspace():
+                return False
+            events.append((1, tag, None))
+            continue
+        selfclose = False
+        if astr.endswith("/"):
+            if astr == "/" or astr[-2] in " \t\n\r\f\"'":
+                selfclose = True
+                astr = astr[:-1]
+            else:
+                return False  # unquoted value ending in "/" — ambiguous
+        # Attribute CONTENT only matters for form-field tags; for the rest
+        # attr parsing is pure validation. Quote-free attr strings need no
+        # validation at all (the quote-aware _TAG_RE already ended the tag
+        # at the one true ">"); quote-bearing ones are validated so that
+        # bare-quote junk (quotes not in value position, where HTMLParser's
+        # tolerant grammar diverges) falls back instead of mis-parsing.
+        if tag in _FORM_FIELD_TAGS:
+            attrs = _parse_attrs(astr)
+            if attrs is None:
+                return False
+        else:
+            attrs = _NO_ATTRS
+            if ('"' in astr or "'" in astr) and _parse_attrs(astr) is None:
+                return False
+        events.append((0, tag, attrs))
+        if selfclose:
+            events.append((1, tag, None))
+        elif tag in _RAWTEXT_TAGS:
+            closer = re.search(rf"</\s*{tag}\s*>", html[pos:], re.IGNORECASE)
+            if closer is None:
+                return False
+            body = html[pos : pos + closer.start()]
+            if "<" in body:
+                return False
+            if body:
+                events.append((2, body, None))
+            events.append((1, tag, None))
+            pos += closer.end()
+    start, end, data = walker.handle_starttag, walker.handle_endtag, walker.handle_data
+    for kind, payload, attrs in events:
+        if kind == 2:
+            data(payload)
+        elif kind == 0:
+            start(payload, attrs)
+        else:
+            end(payload)
+    walker._flush_block()
+    return True
+
+
 def extract_html(html: str) -> HtmlContent:
-    """Parse one HTML payload into main-content blocks, tables, form fields."""
+    """Parse one HTML payload into main-content blocks, tables, form fields.
+
+    Tries the fast strict-subset tokenizer first; falls back to the stdlib
+    HTMLParser for anything irregular. Both paths produce an identical
+    event stream on the fast path's domain (differential-tested), so
+    output bytes are independent of which path ran."""
+    walker = _Walker()
+    try:
+        if _fast_feed(html, walker):
+            return walker.out
+    except Exception:
+        pass
     walker = _Walker()
     try:
         walker.feed(html)

@@ -116,3 +116,40 @@ def test_duplicate_tables_deduped_first_wins():
     out = extract_document(doc)
     tables = [s for s in out if s["kind"] == config.KIND_TABLE]
     assert len(tables) == 1  # D6: exact near-dup suppressed, first wins
+
+
+# ------------------------------------------------------- fast HTML tokenizer
+def _parser_only(html: str):
+    """Reference path: stdlib HTMLParser driving the walker."""
+    from sparkextract.core.boilerplate import _Walker
+
+    w = _Walker()
+    try:
+        w.feed(html)
+        w.close()
+    except Exception:
+        pass
+    return w.out
+
+
+_html_frag = st.one_of(
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div>", "</div>", "<br/>", "<a href=\"/x\">", "</a>",
+            "<nav>", "</nav>", "<table>", "</table>", "<tr>", "<td>", "</td>",
+            "<script>var x=1;</script>", "<form>", "</form>",
+            "<input name=\"q\" value=\"v\"/>", "<!-- c -->", "&amp;",
+            "<div title=\"a>b\">", "<p class='x'>", "< stray", "text ",
+            "word. ", "<P>", "</P >", "<a-b>", "<style>.c{}</style>",
+        ]
+    ),
+    st.text(max_size=12),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_html_frag, max_size=20).map("".join))
+def test_fast_html_tokenizer_matches_htmlparser(html):
+    from sparkextract.core.boilerplate import extract_html
+
+    assert extract_html(html) == _parser_only(html)

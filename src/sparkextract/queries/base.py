@@ -7,6 +7,12 @@ engines:
 
 - double sums go through ``DECIMAL(18,4)`` per-element casts (exact,
   order-independent addition) and back to DOUBLE at the end;
+- decimal PRODUCT sums (scale 8) are ``ROUND(..., 4)``-ed in decimal
+  before the DOUBLE cast: at scale 8 a ~1e9 sum scales past 2^53, where
+  DuckDB's hugeint→double→/10^scale cast double-rounds while Spark's
+  BigDecimal.doubleValue rounds once — a 1-ulp divergence that bites at
+  sf0.1 magnitudes; at scale 4 the scaled integer fits in 2^53 and the
+  cast is exact in both engines;
 - averages are exact decimal sums divided as DOUBLE (one IEEE division);
 - timestamps are projected as epoch seconds or ISO date strings;
 - every LIMIT carries a full tie-breaking ORDER BY.

@@ -28,7 +28,7 @@ def _dec(col):
     SELECT l_returnflag, l_linestatus,
            {dsum('l_quantity')} AS sum_qty,
            {dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
            CAST(COUNT(*) AS BIGINT) AS count_order,
            {dsum('l_quantity')} / COUNT(*) AS avg_qty
     FROM lineitem
@@ -41,7 +41,10 @@ def q01_pricing_summary(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+        F.round(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")),
+            4,
+        )
         .cast("double")
         .alias("sum_disc_price"),
         F.count("*").alias("count_order"),
@@ -55,7 +58,7 @@ def q01_pricing_summary(spark, sf_dir):
     "q02_top_revenue_orders",
     oracle=f"""
     SELECT o.o_orderkey, o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderpriority
     ORDER BY revenue DESC, o_orderkey ASC
@@ -69,7 +72,10 @@ def q02_top_revenue_orders(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")),
+                4,
+            )
             .cast("double")
             .alias("revenue")
         )
@@ -87,7 +93,7 @@ def q02_top_revenue_orders(spark, sf_dir):
     oracle=f"""
     SELECT r.r_name,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -110,7 +116,10 @@ def q03_region_sales(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_lineitems"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")),
+                4,
+            )
             .cast("double")
             .alias("revenue"),
         )
@@ -339,7 +348,7 @@ def q15_semi_join(spark, sf_dir):
     "q16_brand_revenue",
     oracle=f"""
     SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -354,7 +363,10 @@ def q16_brand_revenue(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")),
+                4,
+            )
             .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),

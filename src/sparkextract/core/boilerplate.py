@@ -180,6 +180,13 @@ _ATTR_RE = re.compile(
     r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
     r"(?:\s*=\s*(?:\"([^\"<>&]*)\"|'([^'<>&]*)'|([^\s\"'=<>`]+)))?"
 )
+# one-shot validation form of _ATTR_RE (same grammar, repeated, plus
+# trailing whitespace) — C-level fullmatch instead of a Python attr loop
+# for the tags whose attr VALUES we don't need
+_ATTRS_VALID_RE = re.compile(
+    r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>&]*\"|'[^'<>&]*'|[^\s\"'=<>`]+))?)*\s*"
+)
 _RAWTEXT_TAGS = ("script", "style")
 
 
@@ -253,7 +260,7 @@ def _fast_feed(html: str, walker: _Walker) -> bool:
                 return False
         else:
             attrs = _NO_ATTRS
-            if ('"' in astr or "'" in astr) and _parse_attrs(astr) is None:
+            if ('"' in astr or "'" in astr) and not _ATTRS_VALID_RE.fullmatch(astr):
                 return False
         events.append((0, tag, attrs))
         if selfclose:

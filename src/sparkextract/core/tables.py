@@ -61,6 +61,8 @@ def _unruled_cells(line: str) -> list[str]:
 def _form_match(line: str) -> tuple[str, str] | None:
     if len(line) > config.FORM_MAX_LINE:
         return None
+    if ":" not in line:  # exact-safe pre-check: FORM_KEY_RE requires ':'
+        return None
     m = _FORM_RE.match(line)
     if not m:
         return None

@@ -1,0 +1,87 @@
+"""Fourth-wave queries: BPE-ish subword tokenization stats (q49) and
+ANN recall evaluation (q50).
+
+q49 complements the whitespace tokenizer family (q22/q23/q37) with a
+GPT-2-style pre-tokenizer regex (letters-run | digits-run | punct-run,
+each with optional leading space) — the "token counting (whitespace + a
+BPE-ish regex)" pair a training-data pipeline needs. The pattern uses
+only portable constructs (char classes + quantifiers) so Java regex
+(Spark) and RE2 (DuckDB) agree token-for-token.
+
+q50 closes the ANN loop: recall@10 of the IVF probe path (q46) against
+the brute-force top-10 over the same candidate universe (vec_id > 8) —
+the standard quality metric that justifies the |cells|/nprobe-fold scan
+reduction at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkextract.queries.base import load, register
+from sparkextract.queries.wave3 import _Q46_ORACLE, _cos_sql, _dot, _norm, q46_ivf_topk
+
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "q49_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+           ROUND(CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
+                 / SUM(LENGTH(regexp_extract_all(text, '\\S+'))), 6) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def q49_bpe_token_stats(spark, sf_dir):
+    """Subword-per-word "fertility" per language — the throughput-planning
+    stat for tokenized training data. Single scan, partial-agg shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    ws = F.regexp_count("text", F.lit(r"\S+"))
+    return docs.groupBy("lang").agg(
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(ws).alias("ws_tokens"),
+        F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+    )
+
+
+_Q50_ORACLE = f"""
+    WITH ivf AS ({_Q46_ORACLE}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    brute AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id > 8
+      ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id ASC
+      LIMIT 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+    FROM ivf JOIN brute USING (vec_id)
+"""
+
+
+@register("q50_ann_recall", oracle=_Q50_ORACLE)
+def q50_ann_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    brute = (
+        emb.filter(F.col("vec_id") > 8)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("embedding"), F.col("qv")) / (_norm(F.col("embedding")) * _norm(F.col("qv")))).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf = q46_ivf_topk(spark, sf_dir).select("vec_id")
+    overlap = ivf.join(brute, "vec_id")
+    return overlap.agg(
+        F.count("*").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )

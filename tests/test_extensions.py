@@ -120,3 +120,12 @@ def test_ivf_topk_probes_two_cells(spark):
     # scores sorted descending with vec_id tiebreak
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_wave4_ann_recall_bounds(spark):
+    from sparkextract.queries.registry import ORACLE_SQL, SPARK_QUERIES
+
+    assert "q49_bpe_token_stats" in ORACLE_SQL and "q50_ann_recall" in ORACLE_SQL
+    row = SPARK_QUERIES["q50_ann_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= row["n_overlap"] <= 10
+    assert row["recall_at_10"] == row["n_overlap"] / 10.0

@@ -211,21 +211,27 @@ def _parse_attrs(astr: str) -> list[tuple[str, str | None]] | None:
 
 def _fast_feed(html: str, walker: _Walker) -> bool:
     """Drive the walker via the fast tokenizer. True on success; False =
-    input outside the strict subset (caller must use HTMLParser)."""
+    input outside the strict subset (caller must use HTMLParser).
+
+    Handlers are dispatched INLINE as tokens are recognized — a mid-input
+    bail leaves the walker partially driven, which is safe because the
+    caller discards this walker and feeds a FRESH one to the HTMLParser
+    fallback (extract_html)."""
     if "&" in html or "<!" in html or "<?" in html:
         return False
-    events: list[tuple] = []
+    start, end, data = walker.handle_starttag, walker.handle_endtag, walker.handle_data
     pos = 0
     n = len(html)
     find = html.find
+    tag_match = _TAG_RE.match
     while pos < n:
         k = find("<", pos)
         if k < 0:
-            events.append((2, html[pos:], None))
+            data(html[pos:])
             break
         if k > pos:
-            events.append((2, html[pos:k], None))
-        m = _TAG_RE.match(html, k)
+            data(html[pos:k])
+        m = tag_match(html, k)
         if m is None:
             return False  # stray "<" — HTMLParser would data-ify it
         closing, tag, astr = m.group(1, 2, 3)
@@ -239,7 +245,7 @@ def _fast_feed(html: str, walker: _Walker) -> bool:
         if closing:
             if astr and not astr.isspace():
                 return False
-            events.append((1, tag, None))
+            end(tag)
             continue
         selfclose = False
         if astr.endswith("/"):
@@ -262,9 +268,9 @@ def _fast_feed(html: str, walker: _Walker) -> bool:
             attrs = _NO_ATTRS
             if ('"' in astr or "'" in astr) and not _ATTRS_VALID_RE.fullmatch(astr):
                 return False
-        events.append((0, tag, attrs))
+        start(tag, attrs)
         if selfclose:
-            events.append((1, tag, None))
+            end(tag)
         elif tag in _RAWTEXT_TAGS:
             closer = re.search(rf"</\s*{tag}\s*>", html[pos:], re.IGNORECASE)
             if closer is None:
@@ -273,17 +279,9 @@ def _fast_feed(html: str, walker: _Walker) -> bool:
             if "<" in body:
                 return False
             if body:
-                events.append((2, body, None))
-            events.append((1, tag, None))
+                data(body)
+            end(tag)
             pos += closer.end()
-    start, end, data = walker.handle_starttag, walker.handle_endtag, walker.handle_data
-    for kind, payload, attrs in events:
-        if kind == 2:
-            data(payload)
-        elif kind == 0:
-            start(payload, attrs)
-        else:
-            end(payload)
     walker._flush_block()
     return True
 

@@ -85,3 +85,40 @@ def q50_ann_recall(spark, sf_dir):
         F.count("*").alias("n_overlap"),
         F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+@register(
+    "q51_confidence_rollup",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ROUND((
+               LEAST(LENGTH(text) / 1000.0, 1.0)
+             + (1.0 - ABS( (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / GREATEST(LENGTH(text), 1) - 0.15 ))
+           ) / 2.0, 6)), 6) AS avg_conf,
+           ROUND(MIN(ROUND((
+               LEAST(LENGTH(text) / 1000.0, 1.0)
+             + (1.0 - ABS( (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / GREATEST(LENGTH(text), 1) - 0.15 ))
+           ) / 2.0, 6)), 6) AS min_conf
+    FROM documents GROUP BY lang
+    """,
+)
+def q51_confidence_rollup(spark, sf_dir):
+    """A6: overall confidence rollup — mean of per-doc factor scores
+    (reference cross-engine confidence mean,
+    /root/reference/src/utils/validation.py:170-199; factor formulas A2,
+    /root/reference/src/text_extractor.py:153-177 length factor, :400-403
+    whitespace-ratio factor F9). Per-doc score quantized to 6 decimals
+    before aggregation so the cross-engine AVG is exact; single scan,
+    partial-agg shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    ln = F.length("text")
+    length_factor = F.least(ln / 1000.0, F.lit(1.0))
+    ws = ln - F.length(F.regexp_replace("text", " ", ""))
+    ws_factor = F.lit(1.0) - F.abs(ws / F.greatest(ln, F.lit(1)) - F.lit(0.15))
+    conf = F.round((length_factor + ws_factor) / 2.0, 6)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(conf), 6).alias("avg_conf"),
+        F.round(F.min(conf), 6).alias("min_conf"),
+    )

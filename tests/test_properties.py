@@ -141,6 +141,10 @@ _html_frag = st.one_of(
             "<input name=\"q\" value=\"v\"/>", "<!-- c -->", "&amp;",
             "<div title=\"a>b\">", "<p class='x'>", "< stray", "text ",
             "word. ", "<P>", "</P >", "<a-b>", "<style>.c{}</style>",
+            "<div data-x>", "<div data-x=>", "<div =x>", "<div 'q'>",
+            "<SCRIPT>Z</SCRIPT>", "<style/>", "<p  class = \"x\" >",
+            "<br >", "</ p>", "<p/>", "é中文 ",
+            "<select name=s><option>1</option></select>",
         ]
     ),
     st.text(max_size=12),

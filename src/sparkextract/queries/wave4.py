@@ -122,3 +122,99 @@ def q51_confidence_rollup(spark, sf_dir):
         F.round(F.avg(conf), 6).alias("avg_conf"),
         F.round(F.min(conf), 6).alias("min_conf"),
     )
+
+
+_Q52_ORACLE = """
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 3)) AS e
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, e AS c FROM eq WHERE vec_id BETWEEN 1 AND 8),
+    assign AS (
+      SELECT d.vec_id, c.cent_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (d.e[i] - c.c[i]) * (d.e[i] - c.c[i]))) AS dist
+      FROM eq d, cents c
+      WHERE d.vec_id > 8
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY d.vec_id ORDER BY dist ASC, c.cent_id ASC) = 1
+    ),
+    comps AS (
+      SELECT a.cent_id AS cell, i.i AS dim,
+             CAST(SUM(CAST(d.e[i.i] AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS mean_raw
+      FROM assign a
+      JOIN eq d USING (vec_id)
+      CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+      GROUP BY a.cent_id, i.i
+    ),
+    newc AS (
+      SELECT cell, dim, ROUND(mean_raw, 6) AS comp FROM comps
+    )
+    SELECT n.cell,
+           CAST(a.n AS BIGINT) AS n_assigned,
+           ROUND(SQRT(SUM(n.comp * n.comp)), 6) AS centroid_l2
+    FROM newc n
+    JOIN (SELECT cent_id AS cell, COUNT(*) AS n FROM assign GROUP BY cent_id) a
+      USING (cell)
+    GROUP BY n.cell, a.n
+    ORDER BY n.cell
+"""
+
+
+@register("q52_kmeans_step", oracle=_Q52_ORACLE)
+def q52_kmeans_step(spark, sf_dir):
+    """One deterministic Lloyd's-iteration step (the trained-IVF path):
+    quantize components to 3 decimals, assign every vector to its nearest
+    of 8 seed centroids by squared L2 (argmin, cent_id tie-break), then
+    recompute centroids as exact decimal element-wise means (quantized to
+    6 decimals). Output per refreshed cell: assignment count + centroid
+    L2 norm. Scale path: centroids broadcast; assignment is map-side; the
+    centroid update shuffles only (cell, dim, partial-sum) — 8x64 groups
+    regardless of table size (classic map-side-combine friendly agg).
+    Reference ancestry: pgvector ivfflat lists
+    (/root/reference/src/rag/vector_database.py:184-189), here as
+    explicit DataFrame algebra one training step deep."""
+    from pyspark.sql.window import Window as W
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("e"),
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        emb.filter(F.col("vec_id") > 8)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "e")
+    )
+    comps = (
+        assign.select("cell", F.posexplode("e").alias("dim0", "val"))
+        .groupBy("cell", "dim0")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,4)")).cast("double") / F.count("*"), 6
+            ).alias("comp")
+        )
+    )
+    counts = assign.groupBy("cell").agg(F.count("*").alias("n_assigned"))
+    return (
+        comps.groupBy("cell")
+        .agg(F.round(F.sqrt(F.sum(F.col("comp") * F.col("comp"))), 6).alias("centroid_l2"))
+        .join(counts, "cell")
+        .select("cell", "n_assigned", "centroid_l2")
+        .orderBy("cell")
+    )

@@ -214,7 +214,7 @@ def q52_kmeans_step(spark, sf_dir):
     return (
         comps.groupBy("cell")
         .agg(F.round(F.sqrt(F.sum(F.col("comp") * F.col("comp"))), 6).alias("centroid_l2"))
-        .join(counts, "cell")
+        .join(F.broadcast(counts), "cell")
         .select("cell", "n_assigned", "centroid_l2")
         .orderBy("cell")
     )

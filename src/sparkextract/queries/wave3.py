@@ -216,11 +216,6 @@ def q46_ivf_topk(spark, sf_dir):
     )
 
 
-# --------------------------------------------------------------------------
-# q47: the retrieval filter stack (P4 + P5 + P8 + P9 + P10) in one pass —
-# all pushed into the parquet scan as one conjunctive predicate (Catalyst
-# collapses the chained filters; only doc_id/lang/n_chars columns are read
-# plus text for the P10/overlap terms).
 @register(
     "q48_distinct_keys",
     oracle="""
@@ -236,6 +231,11 @@ def q48_distinct_keys(spark, sf_dir):
     return load(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
 
 
+# --------------------------------------------------------------------------
+# q47: the retrieval filter stack (P4 + P5 + P8 + P9 + P10) in one pass —
+# all pushed into the parquet scan as one conjunctive predicate (Catalyst
+# collapses the chained filters; only doc_id/lang/n_chars columns are read
+# plus text for the P10/overlap terms).
 @register(
     "q47_retrieval_filters",
     oracle="""

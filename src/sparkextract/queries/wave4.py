@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from sparkextract.queries.base import load, register
 from sparkextract.queries.wave3 import _Q46_ORACLE, _cos_sql, _dot, _norm, q46_ivf_topk
 
-_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# \s / \S are NOT portable between Java regex (Spark) and RE2 (DuckDB):
+# Java's \s includes U+000B vertical tab, RE2's does not. Both patterns
+# therefore spell the whitespace class out explicitly.
+_WS_CLASS = r" \t\n\x0B\f\r"
+_BPE_RE = rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_WS_CLASS}]+"
+_NON_WS_RE = rf"[^{_WS_CLASS}]+"
 
 
 @register(
@@ -29,9 +34,9 @@ _BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
     oracle=f"""
     SELECT lang,
            CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_tokens,
-           CAST(SUM(LENGTH(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(LENGTH(regexp_extract_all(text, '{_NON_WS_RE}'))) AS BIGINT) AS ws_tokens,
            ROUND(CAST(SUM(LENGTH(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
-                 / SUM(LENGTH(regexp_extract_all(text, '\\S+'))), 6) AS fertility
+                 / SUM(LENGTH(regexp_extract_all(text, '{_NON_WS_RE}'))), 6) AS fertility
     FROM documents GROUP BY lang
     """,
 )
@@ -40,7 +45,7 @@ def q49_bpe_token_stats(spark, sf_dir):
     stat for tokenized training data. Single scan, partial-agg shuffle."""
     docs = load(spark, sf_dir, "documents")
     bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
-    ws = F.regexp_count("text", F.lit(r"\S+"))
+    ws = F.regexp_count("text", F.lit(_NON_WS_RE))
     return docs.groupBy("lang").agg(
         F.sum(bpe).alias("bpe_tokens"),
         F.sum(ws).alias("ws_tokens"),
@@ -92,10 +97,10 @@ def q50_ann_recall(spark, sf_dir):
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(ROUND((
+           ROUND(CAST(SUM(CAST(ROUND((
                LEAST(LENGTH(text) / 1000.0, 1.0)
              + (1.0 - ABS( (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / GREATEST(LENGTH(text), 1) - 0.15 ))
-           ) / 2.0, 6)), 6) AS avg_conf,
+           ) / 2.0, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_conf,
            ROUND(MIN(ROUND((
                LEAST(LENGTH(text) / 1000.0, 1.0)
              + (1.0 - ABS( (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / GREATEST(LENGTH(text), 1) - 0.15 ))
@@ -108,9 +113,11 @@ def q51_confidence_rollup(spark, sf_dir):
     (reference cross-engine confidence mean,
     /root/reference/src/utils/validation.py:170-199; factor formulas A2,
     /root/reference/src/text_extractor.py:153-177 length factor, :400-403
-    whitespace-ratio factor F9). Per-doc score quantized to 6 decimals
-    before aggregation so the cross-engine AVG is exact; single scan,
-    partial-agg shuffle."""
+    whitespace-ratio factor F9). Per-doc scores are quantized to 6
+    decimals, then averaged as an exact DECIMAL(18,6) sum divided once as
+    DOUBLE (the q01 avg_qty pattern) — a plain double AVG is summation-
+    order-dependent and can straddle a rounding boundary between engines.
+    Single scan, partial-agg shuffle."""
     docs = load(spark, sf_dir, "documents")
     ln = F.length("text")
     length_factor = F.least(ln / 1000.0, F.lit(1.0))
@@ -119,7 +126,9 @@ def q51_confidence_rollup(spark, sf_dir):
     conf = F.round((length_factor + ws_factor) / 2.0, 6)
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(conf), 6).alias("avg_conf"),
+        F.round(
+            F.sum(conf.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_conf"),
         F.round(F.min(conf), 6).alias("min_conf"),
     )
 
@@ -154,7 +163,7 @@ _Q52_ORACLE = """
     )
     SELECT n.cell,
            CAST(a.n AS BIGINT) AS n_assigned,
-           ROUND(SQRT(SUM(n.comp * n.comp)), 6) AS centroid_l2
+           ROUND(SQRT(CAST(SUM(CAST(n.comp AS DECIMAL(18,6)) * CAST(n.comp AS DECIMAL(18,6))) AS DOUBLE)), 6) AS centroid_l2
     FROM newc n
     JOIN (SELECT cent_id AS cell, COUNT(*) AS n FROM assign GROUP BY cent_id) a
       USING (cell)
@@ -211,9 +220,16 @@ def q52_kmeans_step(spark, sf_dir):
         )
     )
     counts = assign.groupBy("cell").agg(F.count("*").alias("n_assigned"))
+    # comp is quantized to 6 decimals, so square-and-sum in DECIMAL
+    # (exact at scale 12, order-independent) before the lone double sqrt
+    comp_dec = F.col("comp").cast("decimal(18,6)")
     return (
         comps.groupBy("cell")
-        .agg(F.round(F.sqrt(F.sum(F.col("comp") * F.col("comp"))), 6).alias("centroid_l2"))
+        .agg(
+            F.round(F.sqrt(F.sum(comp_dec * comp_dec).cast("double")), 6).alias(
+                "centroid_l2"
+            )
+        )
         .join(F.broadcast(counts), "cell")
         .select("cell", "n_assigned", "centroid_l2")
         .orderBy("cell")

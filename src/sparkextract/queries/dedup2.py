@@ -147,6 +147,10 @@ def _norm(a):
 
 @register("q34_lsh_near_dup_join", oracle=_Q34_ORACLE)
 def q34_lsh_near_dup_join(spark, sf_dir):
+    """Single-signature LSH demo (16 fixed buckets). At real corpus sizes
+    a FIXED bucket count makes within-bucket pair joins O(N²/16) — use the
+    banded variant (q53) whose bucket space scales with the plane count;
+    this one is kept as the minimal-shape oracle for the bucket pattern."""
     emb = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 300)
@@ -168,3 +172,179 @@ def q34_lsh_near_dup_join(spark, sf_dir):
         F.col("y.vec_id").alias("right_id"),
         cosine.alias("cosine"),
     ).filter(F.col("cosine") >= 0.3)
+
+
+# --------------------------------------------------------------------------
+# q53: SCALE-SAFE banded LSH near-dup join (the fix for q34's fixed
+# 16-bucket space). B bands x R hyperplanes per band: each vector gets B
+# band signatures of R sign bits; candidate pairs share (band, signature)
+# for at least one band — an equi-join on a key whose cardinality is
+# B * 2^R, so R is the knob that keeps expected bucket size bounded as
+# the corpus grows (choose R ~ log2(N / target_bucket_size); here 4x8 =
+# 1024 buckets for a ~572-vector corpus). Exact cosine runs only on
+# deduplicated candidate pairs. The corpus is random, so near-dup pairs
+# are injected (a perturbed copy of every 7th vector) exactly like q38
+# does for MinHash; band collisions between random vectors are possible
+# but the cosine >= 0.8 verify stage only keeps true near-dups.
+# Reference intent: ANN index instead of exact scan,
+# /root/reference/src/rag/vector_database.py:184-189.
+#
+# The hyperplane sign matrix is a CONSTANT (a function of (band, plane,
+# dim) only), so it is derived ONCE driver-side from md5 (hashlib md5 ==
+# engine md5, byte for byte) and embedded as literals in both engines —
+# the broadcast-constant shape you want at scale, instead of re-deriving
+# 2048 md5s per row inside the projection.
+_BANDS = 4
+_PLANES = 8  # per band -> 2^8 signatures per band
+
+
+def _plane_signs(band: int, plane: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"b{band}p{plane}:{i}".encode()).hexdigest()[0] in "02468ace"
+        else -1.0
+        for i in range(1, _DIM + 1)
+    ]
+
+
+def _band_sig_sql(band: int) -> str:
+    # flat unrolled dot product per plane: list-literal indexing inside
+    # list_transform re-materializes the 64-element list per element
+    # (O(dim^2) per row); the flat sum is vectorized and order-identical
+    # to the Spark fold (left-associated, i ascending)
+    terms = []
+    for p in range(_PLANES):
+        proj = " + ".join(
+            f"e[{i + 1}]*{s}" for i, s in enumerate(_plane_signs(band, p))
+        )
+        terms.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_COS_E = (
+    f"list_sum(list_transform(range(1, {_DIM + 1}), i -> cx.e[i] * cy.e[i]))"
+    f" / ( sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> cx.e[i] * cx.e[i])))"
+    f"   * sqrt(list_sum(list_transform(range(1, {_DIM + 1}), i -> cy.e[i] * cy.e[i]))) )"
+)
+
+_Q53_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, {_DIM + 1}),
+           i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.25
+                     ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+sigs AS (
+  SELECT vec_id, e,
+         [{", ".join(f"CAST({_band_sig_sql(b)} AS INTEGER)" for b in range(_BANDS))}] AS s
+  FROM corpus
+),
+buckets AS (
+  SELECT vec_id, band, s[band + 1] AS sig
+  FROM sigs, (SELECT UNNEST(range({_BANDS})) AS band)
+),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS l, y.vec_id AS r
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+)
+SELECT p.l AS left_id, p.r AS right_id,
+       ROUND({_COS_E}, 6) AS cosine
+FROM pairs p
+JOIN corpus cx ON p.l = cx.vec_id
+JOIN corpus cy ON p.r = cy.vec_id
+WHERE ROUND({_COS_E}, 6) >= 0.8
+"""
+
+
+def _banded_corpus(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    perturbed = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                F.sequence(F.lit(1), F.lit(_DIM)),
+                lambda x, i: F.when(i == 1, x.cast("double") + 0.25).otherwise(
+                    x.cast("double")
+                ),
+            ).alias("e"),
+        )
+    )
+    return emb.unionByName(perturbed)
+
+
+def _band_sig_col(band: int):
+    # zip_with + fold (left-associated, i ascending — order-identical to
+    # the SQL's flat sum). A flat 64-term-per-plane expression would blow
+    # whole-stage codegen's method-size limit (32 planes x 64 terms) and
+    # drop the whole stage to interpreted mode; higher-order functions
+    # are evaluated outside codegen and keep the rest of the stage fast.
+    sig = F.lit(0)
+    for p in range(_PLANES):
+        signs = F.array(*[F.lit(s) for s in _plane_signs(band, p)])
+        proj = F.aggregate(
+            F.zip_with(F.col("e"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+@register("q53_banded_lsh_near_dup", oracle=_Q53_ORACLE)
+def q53_banded_lsh_near_dup(spark, sf_dir):
+    corpus = _banded_corpus(spark, sf_dir)
+    buckets = (
+        corpus.withColumn(
+            "bs", F.array(*[_band_sig_col(b) for b in range(_BANDS)])
+        )
+        .select("vec_id", F.posexplode("bs").alias("band", "sig"))
+    )
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("l"), F.col("y.vec_id").alias("r"))
+        .distinct()
+    )
+    cx = corpus.select(F.col("vec_id").alias("l"), F.col("e").alias("ex"))
+    cy = corpus.select(F.col("vec_id").alias("r"), F.col("e").alias("ey"))
+    cosine = F.round(
+        _dot2(F.col("ex"), F.col("ey")) / (_norm2(F.col("ex")) * _norm2(F.col("ey"))), 6
+    )
+    return (
+        pairs.join(cx, "l")
+        .join(cy, "r")
+        .select(
+            F.col("l").alias("left_id"),
+            F.col("r").alias("right_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+def _dot2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm2(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))

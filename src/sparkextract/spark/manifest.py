@@ -25,7 +25,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from sparkextract import config
@@ -100,9 +100,29 @@ def run_extraction_job(
     exploded = extract_exploded(todo.drop("doc_id_bucket"), skew_threshold=skew_threshold)
     exploded = exploded.withColumn("bucket", bucket_expr(num_buckets))
 
+    # Per-bucket span/table metrics ride along with the WRITE via
+    # df.observe(): at 100 TB a post-write `spark.read.parquet(out_dir)`
+    # (the previous design) is a second full pass of output I/O just for
+    # counters. One conditional-sum pair per bucket is 2*num_buckets
+    # cheap JVM-side aggregates collected by the write action itself —
+    # no extra job, no re-read, no recomputation of the extraction
+    # subtree. (Grouped aggs aren't expressible in observe(), hence the
+    # per-bucket unrolling; num_buckets is a small fixed constant.)
+    obs = Observation(f"bucket_metrics_{run_id}")
+    aggs = []
+    for k in range(num_buckets):
+        in_bucket = (F.col("bucket") == k).cast("long")
+        aggs.append(F.sum(in_bucket).alias(f"sc_{k}"))
+        aggs.append(
+            F.sum(
+                ((F.col("bucket") == k) & (F.col("kind") == config.KIND_TABLE)).cast("long")
+            ).alias(f"tc_{k}")
+        )
+    observed = exploded.observe(obs, *aggs)
+
     out_dir = os.path.join(_data_dir(root), f"epoch={run_id}")
     (
-        exploded.repartition("bucket")
+        observed.repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(out_dir)
@@ -111,14 +131,17 @@ def run_extraction_job(
     # per-bucket lineage + metrics (north_rule: per-partition lineage and
     # span-count/table-count metrics). Includes empty-output docs via the
     # todo side so wholly-filtered buckets still commit.
-    written = spark.read.parquet(out_dir)
+    metrics = obs.get
     doc_buckets = (
         todo.select("doc_id", "doc_id_bucket")
         .groupBy("doc_id_bucket").agg(F.countDistinct("doc_id").alias("doc_count"))
     )
-    span_stats = written.groupBy(F.col("bucket").alias("doc_id_bucket")).agg(
-        F.count("*").alias("span_count"),
-        F.sum((F.col("kind") == config.KIND_TABLE).cast("long")).alias("table_count"),
+    span_stats = spark.createDataFrame(
+        [
+            (k, int(metrics.get(f"sc_{k}") or 0), int(metrics.get(f"tc_{k}") or 0))
+            for k in range(num_buckets)
+        ],
+        "doc_id_bucket int, span_count long, table_count long",
     )
     wall_ms = int((time.time() - t0) * 1000)
     stats = (

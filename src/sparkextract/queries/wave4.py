@@ -133,8 +133,7 @@ def q51_confidence_rollup(spark, sf_dir):
     )
 
 
-_Q52_ORACLE = """
-    WITH eq AS (
+_Q52_CTES = """eq AS (
       SELECT vec_id,
              list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 3)) AS e
       FROM embeddings
@@ -160,7 +159,10 @@ _Q52_ORACLE = """
     ),
     newc AS (
       SELECT cell, dim, ROUND(mean_raw, 6) AS comp FROM comps
-    )
+    )"""
+
+_Q52_ORACLE = f"""
+    WITH {_Q52_CTES}
     SELECT n.cell,
            CAST(a.n AS BIGINT) AS n_assigned,
            ROUND(SQRT(CAST(SUM(CAST(n.comp AS DECIMAL(18,6)) * CAST(n.comp AS DECIMAL(18,6))) AS DOUBLE)), 6) AS centroid_l2
@@ -170,6 +172,67 @@ _Q52_ORACLE = """
     GROUP BY n.cell, a.n
     ORDER BY n.cell
 """
+
+
+def _km_quantized(spark, sf_dir):
+    """Embeddings with components quantized to 3 decimals (vec_id, e)."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("e"),
+    )
+
+
+def _km_assign(emb, cents):
+    """Assign each vector (vec_id > 8) to its nearest centroid by squared
+    L2 (argmin, cent_id tie-break). ``cents``: (cent_id, c array<double>),
+    broadcast — assignment is map-side. Returns (vec_id, cell, e)."""
+    from pyspark.sql.window import Window as W
+
+    dist = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.filter(F.col("vec_id") > 8)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "e")
+    )
+
+
+def _km_comps(assign):
+    """Recompute centroids as exact decimal element-wise means quantized
+    to 6 decimals. Shuffles only (cell, dim, partial-sum) — |cells| x dim
+    groups regardless of table size. Returns (cell, dim0, comp)."""
+    return (
+        assign.select("cell", F.posexplode("e").alias("dim0", "val"))
+        .groupBy("cell", "dim0")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,4)")).cast("double") / F.count("*"), 6
+            ).alias("comp")
+        )
+    )
+
+
+def _km_cent_arrays(comps):
+    """(cell, dim0, comp) rows -> (cent_id, c array<double>) ordered by dim."""
+    return (
+        comps.groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim0", "comp"))),
+                lambda x: x["comp"],
+            ).alias("c")
+        )
+        .select(F.col("cell").alias("cent_id"), "c")
+    )
 
 
 @register("q52_kmeans_step", oracle=_Q52_ORACLE)
@@ -185,40 +248,12 @@ def q52_kmeans_step(spark, sf_dir):
     Reference ancestry: pgvector ivfflat lists
     (/root/reference/src/rag/vector_database.py:184-189), here as
     explicit DataFrame algebra one training step deep."""
-    from pyspark.sql.window import Window as W
-
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double"), 3)).alias("e"),
-    )
+    emb = _km_quantized(spark, sf_dir)
     cents = emb.filter(F.col("vec_id").between(1, 8)).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assign = (
-        emb.filter(F.col("vec_id") > 8)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("dist", dist)
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"), "e")
-    )
-    comps = (
-        assign.select("cell", F.posexplode("e").alias("dim0", "val"))
-        .groupBy("cell", "dim0")
-        .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(18,4)")).cast("double") / F.count("*"), 6
-            ).alias("comp")
-        )
-    )
+    assign = _km_assign(emb, cents)
+    comps = _km_comps(assign)
     counts = assign.groupBy("cell").agg(F.count("*").alias("n_assigned"))
     # comp is quantized to 6 decimals, so square-and-sum in DECIMAL
     # (exact at scale 12, order-independent) before the lone double sqrt

@@ -180,3 +180,176 @@ def q55_rerank_topk(spark, sf_dir):
         .orderBy(F.desc("rerank_score"), F.asc("vec_id"))
         .limit(3)
     )
+
+
+# --------------------------------------------------------------------------
+# q56: the OCR-text post-processing chain as ONE query, on a synthetic
+# "OCR output" population derived from documents (media spans carry
+# media_ref verbatim per BASELINE.json input_hint, so true OCR decode is
+# out of scope — the reference's POST-processing pipeline shape is what
+# is modeled). Chain, mirroring
+# /root/reference/src/image_extractor.py:533-549 (_clean_ocr_text) and
+# :635 (meaningful-text gate):
+#   1. collapse whitespace runs (P7) — explicit char class, \s is not
+#      Java/RE2-portable;
+#   2. '|' -> 'I' artifact repair;
+#   3. drop single-char non-alphanumeric "words" (artifact filter);
+#   4. keep only meaningful results: len(trim) > 3 (P10);
+#   5. length-factor confidence (P5 threshold form).
+# Injected noise: doubled spaces, a leading '| ', trailing ' . -- ok'
+# artifacts; every 17th doc is pure artifacts and must be gated out.
+# Full-text verification via md5 of the cleaned text.
+_Q56_ORACLE = r"""
+    WITH ocr AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN '| . .'
+                  ELSE '| ' || replace(text, ' ', '  ') || ' . -- ok' END AS raw
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id,
+             replace(trim(regexp_replace(raw, '[ \t\n\x0B\f\r]+', ' ', 'g')), '|', 'I') AS c
+      FROM ocr
+    ),
+    words AS (
+      SELECT doc_id,
+             list_filter(string_split(c, ' '),
+                         w -> LENGTH(w) > 1 OR regexp_matches(w, '^[A-Za-z0-9]+$')) AS ws
+      FROM clean
+    ),
+    final AS (
+      SELECT doc_id, array_to_string(ws, ' ') AS t,
+             CAST(LENGTH(ws) AS INT) AS n_words
+      FROM words
+    )
+    SELECT doc_id, md5(t) AS clean_md5, n_words,
+           ROUND(LEAST(LENGTH(t) / 1000.0, 1.0), 6) AS conf
+    FROM final
+    WHERE LENGTH(TRIM(t)) > 3
+"""
+
+
+@register("q56_ocr_clean_chain", oracle=_Q56_ORACLE)
+def q56_ocr_clean_chain(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    raw = F.when(F.col("doc_id") % 17 == 0, F.lit("| . .")).otherwise(
+        F.concat(F.lit("| "), F.regexp_replace("text", " ", "  "), F.lit(" . -- ok"))
+    )
+    clean = F.translate(
+        F.trim(F.regexp_replace(raw, r"[ \t\n\x0B\f\r]+", " ")), "|", "I"
+    )
+    ws = F.filter(
+        F.split(clean, " "),
+        lambda w: (F.length(w) > 1) | w.rlike("^[A-Za-z0-9]+$"),
+    )
+    t = F.array_join(ws, " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(t).alias("clean_md5"),
+            F.size(ws).alias("n_words"),
+            F.round(F.least(F.length(t) / 1000.0, F.lit(1.0)), 6).alias("conf"),
+            F.length(F.trim(t)).alias("_g"),
+        )
+        .filter(F.col("_g") > 3)
+        .drop("_g")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57: a SECOND deterministic Lloyd's iteration chained on q52's output
+# centroids, plus a centroid-shift convergence metric — proof that the
+# iterative-algorithm shape (a training loop expressed as DataFrame
+# algebra, one materialization-free plan per step) stays oracle-exact
+# across steps. Numeric discipline per step: components quantized to 3
+# decimals, refreshed centroids to 6; distances are fixed-order double
+# folds (identical in both engines); means are exact DECIMAL(18,4) sums;
+# the L2/shift square-sums run in DECIMAL(18,6) (exact at scale 12)
+# before the lone double sqrt. Scale shape: each step broadcasts 8
+# centroids and shuffles only (cell, dim, partial-sum) — 8x64 groups
+# per step regardless of corpus size.
+def _q57_oracle() -> str:
+    from sparkextract.queries.wave4 import _Q52_CTES
+
+    return f"""
+    WITH {_Q52_CTES},
+    c2 AS (
+      SELECT cell AS cent_id, list(comp ORDER BY dim) AS c
+      FROM newc GROUP BY cell
+    ),
+    assign2 AS (
+      SELECT d.vec_id, c2.cent_id AS cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (d.e[i] - c2.c[i]) * (d.e[i] - c2.c[i]))) AS dist
+      FROM eq d, c2
+      WHERE d.vec_id > 8
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY d.vec_id ORDER BY dist ASC, c2.cent_id ASC) = 1
+    ),
+    comps2 AS (
+      SELECT a.cell, i.i AS dim,
+             ROUND(CAST(SUM(CAST(d.e[i.i] AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*), 6) AS comp
+      FROM assign2 a
+      JOIN eq d USING (vec_id)
+      CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+      GROUP BY a.cell, i.i
+    ),
+    counts2 AS (SELECT cell, COUNT(*) AS n FROM assign2 GROUP BY cell),
+    l2 AS (
+      SELECT cell,
+             ROUND(SQRT(CAST(SUM(CAST(comp AS DECIMAL(18,6)) * CAST(comp AS DECIMAL(18,6))) AS DOUBLE)), 6) AS centroid_l2
+      FROM comps2 GROUP BY cell
+    ),
+    shift AS (
+      SELECT n2.cell,
+             ROUND(SQRT(CAST(SUM(
+               (CAST(n2.comp AS DECIMAL(18,6)) - CAST(n1.comp AS DECIMAL(18,6)))
+             * (CAST(n2.comp AS DECIMAL(18,6)) - CAST(n1.comp AS DECIMAL(18,6)))
+             ) AS DOUBLE)), 6) AS centroid_shift
+      FROM comps2 n2 JOIN newc n1 USING (cell, dim)
+      GROUP BY n2.cell
+    )
+    SELECT l2.cell, CAST(counts2.n AS BIGINT) AS n_assigned,
+           l2.centroid_l2, shift.centroid_shift
+    FROM l2 JOIN counts2 USING (cell) JOIN shift USING (cell)
+    ORDER BY l2.cell
+"""
+
+
+@register("q57_kmeans_step2", oracle=_q57_oracle())
+def q57_kmeans_step2(spark, sf_dir):
+    from sparkextract.queries.wave4 import (
+        _km_assign,
+        _km_cent_arrays,
+        _km_comps,
+        _km_quantized,
+    )
+
+    emb = _km_quantized(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+    comps1 = _km_comps(_km_assign(emb, seeds))
+    assign2 = _km_assign(emb, _km_cent_arrays(comps1))
+    comps2 = _km_comps(assign2)
+    counts2 = assign2.groupBy("cell").agg(F.count("*").alias("n_assigned"))
+    comp_dec = F.col("comp").cast("decimal(18,6)")
+    l2 = comps2.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(comp_dec * comp_dec).cast("double")), 6).alias("centroid_l2")
+    )
+    d = (
+        F.col("n2.comp").cast("decimal(18,6)") - F.col("n1.comp").cast("decimal(18,6)")
+    )
+    shift = (
+        comps2.alias("n2")
+        .join(comps1.alias("n1"), ["cell", "dim0"])
+        .groupBy("cell")
+        .agg(F.round(F.sqrt(F.sum(d * d).cast("double")), 6).alias("centroid_shift"))
+    )
+    return (
+        l2.join(F.broadcast(counts2), "cell")
+        .join(F.broadcast(shift), "cell")
+        .select("cell", "n_assigned", "centroid_l2", "centroid_shift")
+        .orderBy("cell")
+    )

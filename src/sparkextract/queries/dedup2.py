@@ -186,6 +186,13 @@ def q34_lsh_near_dup_join(spark, sf_dir):
 # are injected (a perturbed copy of every 7th vector) exactly like q38
 # does for MinHash; band collisions between random vectors are possible
 # but the cosine >= 0.8 verify stage only keeps true near-dups.
+#
+# Plan note: the signature subtree appears on both sides of the
+# self-join, so Spark recomputes it (6 scans in PLANS.md). The
+# projection is cheap map-side arithmetic, so at 100 TB recompute costs
+# one extra scan's I/O + flops; if signatures ever become expensive
+# (more planes, learned projections), materialize the (vec_id, band,
+# sig) table once — bucketed by (band, sig) — and self-join that.
 # Reference intent: ANN index instead of exact scan,
 # /root/reference/src/rag/vector_database.py:184-189.
 #

@@ -341,9 +341,11 @@ def q57_kmeans_step2(spark, sf_dir):
     d = (
         F.col("n2.comp").cast("decimal(18,6)") - F.col("n1.comp").cast("decimal(18,6)")
     )
+    # comps1 is |cells| x dim rows (8x64) regardless of corpus size —
+    # broadcast it so the shift join never becomes a sort-merge shuffle
     shift = (
         comps2.alias("n2")
-        .join(comps1.alias("n1"), ["cell", "dim0"])
+        .join(F.broadcast(comps1.alias("n1")), ["cell", "dim0"])
         .groupBy("cell")
         .agg(F.round(F.sqrt(F.sum(d * d).cast("double")), 6).alias("centroid_shift"))
     )

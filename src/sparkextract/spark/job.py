@@ -18,7 +18,16 @@ Scale notes:
   extraction is embarrassingly parallel;
 - the mega path shuffles only mega-doc items (~0.1% of docs), keyed by
   doc_id, with AQE skew handling on;
-- all Python crossings are Arrow-batched (no per-row Python, input_hint).
+- all Python crossings are Arrow-batched (no per-row Python, input_hint);
+- the small/mega split references the source twice, so the scan runs
+  twice (size(spans) is not pushable into parquet). This is deliberate:
+  persisting the input costs a full materialization and shuffling
+  everything through the mega path costs a full payload shuffle — both
+  worse than one extra columnar scan that discards 99.9% of rows early.
+  At ingest time the right fix is layout, not plan: store n_spans as a
+  top-level column (filter pushdown prunes row groups) or partition the
+  table by an is_mega flag (partition pruning skips the second scan's
+  data entirely).
 """
 
 from __future__ import annotations

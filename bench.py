@@ -46,8 +46,11 @@ HEADLINE = [
     "q27_cosine_topk",
     "q28_lsh_buckets",
     "q40_extract_passthrough",
+    "q42_extract_mega_skew",
     "q44_media_featurize",
     "q46_ivf_topk",
+    "q53_banded_lsh_near_dup",
+    "q54_chunk_overlap",
 ]
 
 

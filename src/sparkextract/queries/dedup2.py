@@ -318,8 +318,13 @@ def q53_banded_lsh_near_dup(spark, sf_dir):
         )
         .select("vec_id", F.posexplode("bs").alias("band", "sig"))
     )
-    x = buckets.alias("x")
-    y = buckets.alias("y")
+    # shuffle-hash, not broadcast: broadcasting the bucket table would
+    # funnel one side's 32-plane signature computation through the
+    # driver collect (single-threaded) — and at scale the bucket table
+    # is O(N x bands) rows, never broadcastable anyway. The shuffle key
+    # (band, sig) is exactly the LSH bucket id.
+    x = buckets.hint("shuffle_hash").alias("x")
+    y = buckets.hint("shuffle_hash").alias("y")
     pairs = (
         x.join(
             y,

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(REPO, "src"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 BENCH_DOCS = int(os.environ.get("SPARKEXTRACT_BENCH_DOCS", "100000"))
-BENCH_REPEATS = int(os.environ.get("SPARKEXTRACT_BENCH_REPEATS", "2"))
+BENCH_REPEATS = int(os.environ.get("SPARKEXTRACT_BENCH_REPEATS", "3"))
 CORPUS_DIR = os.environ.get(
     "SPARKEXTRACT_BENCH_CORPUS", os.path.join(REPO, ".bench_corpus")
 )
@@ -58,9 +58,21 @@ def _ensure_corpus(spark) -> str:
     """Materialize the deterministic bench corpus once (seeded; cached)."""
     marker = os.path.join(CORPUS_DIR, f"_SUCCESS_{BENCH_DOCS}")
     if not os.path.exists(marker):
+        import glob
+
         from sparkextract.spark.datagen import write_corpus
 
-        write_corpus(spark, CORPUS_DIR, BENCH_DOCS, seed=42)
+        # fixed 64-way layout: the corpus is bit-identical regardless of
+        # partitioning, but its FILE layout is not — built under local[1]
+        # it would land as 2 huge files whose row groups cannot split into
+        # 16 MB scan tasks, silently starving the multi-core level
+        write_corpus(spark, CORPUS_DIR, BENCH_DOCS, seed=42, partitions=64)
+        # drop markers from other corpus sizes: write_corpus overwrote the
+        # directory, so a stale _SUCCESS_<other_n> would otherwise make a
+        # later run at that size silently bench the wrong corpus
+        for old in glob.glob(os.path.join(CORPUS_DIR, "_SUCCESS_*")):
+            if old != marker:
+                os.remove(old)
         open(marker, "w").close()
     return CORPUS_DIR
 
@@ -123,6 +135,12 @@ def _scaling_child(cores: int) -> dict:
     from pyspark.sql import functions as F
 
     extract_exploded(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)).count()
+
+    # clear warmup garbage before timing: accumulated heap from the warmup
+    # pass otherwise competes with the timed run's tasks for CPU (GC
+    # threads), degrading the multi-core level disproportionately
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
 
     t0 = time.time()
     spans = extract_exploded(docs, parallelism=cores * 2).count()

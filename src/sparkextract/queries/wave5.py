@@ -355,3 +355,114 @@ def q57_kmeans_step2(spark, sf_dir):
         .select("cell", "n_assigned", "centroid_l2", "centroid_shift")
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# q58: the FULL RAG-query lifecycle (SURVEY.md §3.3 steps 3-6) as ONE
+# plan: kNN retrieve (top-10 by cosine) -> content dedup (D3, md5 key,
+# lowest-id survivor) -> heuristic rerank (similarity + overlap*0.01,
+# /root/reference/src/rag/rag_pipeline.py:536-580) -> cumulative
+# character budget cap (running sum over rerank order, keep while the
+# PRECEDING total stays under budget — the reference's context builder,
+# rag_pipeline.py:582-618; W5 shape shared with q08). Every stage is
+# individually green (q27/q48/q55/q08); this is the composition witness.
+# Scale shape: candidates are top-k tiny -> broadcast joins; the only
+# window runs over <= k rows.
+_Q58_BUDGET = 1500
+
+_Q58_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) ), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id > 0
+      ORDER BY cosine DESC, e.vec_id ASC
+      LIMIT 10
+    ),
+    hydrated AS (
+      SELECT c.vec_id, c.cosine, d.text, d.n_chars, md5(d.text) AS chash
+      FROM cand c JOIN documents d ON d.doc_id = c.vec_id
+    ),
+    deduped AS (
+      SELECT * FROM hydrated
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY chash ORDER BY vec_id ASC) = 1
+    ),
+    reranked AS (
+      SELECT vec_id, cosine, n_chars,
+             ROUND(cosine
+               + CAST(LENGTH(list_intersect(string_split('{_QUERY_WORDS}', ' '),
+                                            list_distinct(string_split(text, ' ')))) AS INT)
+                 * 0.01, 6) AS rerank_score
+      FROM deduped
+    ),
+    budgeted AS (
+      SELECT vec_id, rerank_score, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY rerank_score DESC, vec_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+      FROM reranked
+    )
+    SELECT vec_id, rerank_score,
+           CAST(cum_chars AS BIGINT) AS cum_chars
+    FROM budgeted
+    WHERE cum_chars - n_chars < {_Q58_BUDGET}
+"""
+
+
+@register("q58_retrieval_pipeline", oracle=_Q58_ORACLE)
+def q58_retrieval_pipeline(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from sparkextract.queries.wave3 import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    hydrated = docs.join(F.broadcast(cand), docs["doc_id"] == cand["vec_id"]).select(
+        "vec_id", "cosine", "text", "n_chars", F.md5("text").alias("chash")
+    )
+    deduped = (
+        hydrated.withColumn(
+            "rn", F.row_number().over(W.partitionBy("chash").orderBy(F.asc("vec_id")))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    overlap = F.size(
+        F.array_intersect(
+            F.split(F.lit(_QUERY_WORDS), " "), F.array_distinct(F.split("text", " "))
+        )
+    )
+    reranked = deduped.select(
+        "vec_id",
+        "n_chars",
+        F.round(F.col("cosine") + overlap * 0.01, 6).alias("rerank_score"),
+    )
+    w = (
+        W.orderBy(F.desc("rerank_score"), F.asc("vec_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    budgeted = reranked.withColumn("cum_chars", F.sum("n_chars").over(w))
+    return budgeted.filter(
+        F.col("cum_chars") - F.col("n_chars") < _Q58_BUDGET
+    ).select("vec_id", "rerank_score", F.col("cum_chars").cast("long").alias("cum_chars"))

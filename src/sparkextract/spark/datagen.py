@@ -46,5 +46,12 @@ def F_lit_seed(seed: int):
     return F.lit(seed)
 
 
-def write_corpus(spark: SparkSession, path: str, n_docs: int, seed: int = 42) -> None:
-    corpus_df(spark, n_docs, seed).write.mode("overwrite").parquet(path)
+def write_corpus(
+    spark: SparkSession, path: str, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> None:
+    """``partitions`` fixes the output file count (and therefore row-group
+    layout / scan-split structure) independent of the generating session's
+    core count — callers that later MEASURE scans against this corpus must
+    pin it, or a corpus built under local[1] yields a few huge row groups
+    that cannot split into small scan tasks."""
+    corpus_df(spark, n_docs, seed, partitions=partitions).write.mode("overwrite").parquet(path)

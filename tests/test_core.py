@@ -213,3 +213,30 @@ def test_golden_fixture_stable():
     with open(path) as f:
         golden = json.load(f)
     assert actual == golden
+
+
+def test_chunk_geometry_closed_form():
+    """q54's oracle derives chunk boundaries in closed form; this guards
+    the derivation against any future chunk_text change: for uniform
+    sentence-breakless paragraphs of length L >= CHUNK_OVERLAP, greedy
+    packing follows m1 = (CHUNK_SIZE+2) // (L+2) units in the first
+    chunk and m_later = (CHUNK_SIZE-199) // (L+2) afterwards, each later
+    chunk prefixed by the 200-char overlap tail + ' '."""
+    from sparkextract.core.segment import chunk_text
+
+    for L in range(200, 554, 7):
+        for k in (3, 8, 14):
+            unit = "w" * L
+            m1 = 1002 // (L + 2)
+            ml = 801 // (L + 2)
+            join = lambda u: "\n\n".join([unit] * u)
+            if k <= m1:
+                exp = [join(k)]
+            else:
+                rem = k - m1
+                n = 1 + -(-rem // ml)
+                exp = [join(m1)] + [
+                    "w" * 200 + " " + join(ml if c < n - 1 else rem - (n - 2) * ml)
+                    for c in range(1, n)
+                ]
+            assert chunk_text(join(k)) == exp, (L, k)

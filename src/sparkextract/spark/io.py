@@ -3,7 +3,8 @@
 Primary storage is bucketed parquet with manifest-commit semantics
 (manifest.py — the Iceberg stand-in, SURVEY §7.4.3). The reference's
 Excel/CSV/JSON artifact sinks (S4-S6, /root/reference/src/utils/
-file_utils.py:47-99) map to debug-only Spark writers here; the Postgres
+file_utils.py:47-99) map to debug-only Spark writers here (the Excel
+summary sink S4 is the stdlib-only writer in excel.py); the Postgres
 chunk store (S9, /root/reference/src/rag/vector_database.py:208-284) maps
 to the manifest-committed span table.
 """

@@ -129,3 +129,51 @@ def test_wave4_ann_recall_bounds(spark):
     row = SPARK_QUERIES["q50_ann_recall"](spark, "/root/testdata/sf0.001").collect()[0]
     assert 0 <= row["n_overlap"] <= 10
     assert row["recall_at_10"] == row["n_overlap"] / 10.0
+
+
+def test_excel_summary_sink_roundtrip(spark, tmp_path):
+    """S4: the stdlib xlsx writer produces a valid workbook whose sheets
+    and cell values round-trip through stdlib zip+XML parsing (no Excel
+    library exists in this environment, which is exactly why the writer
+    is stdlib-only)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from sparkextract.spark.excel import save_tables_to_excel
+
+    t1 = spark.createDataFrame(
+        [("text", 42, 0.5), ("table", 7, 1.25)], "kind string, n int, score double"
+    )
+    t2 = spark.createDataFrame([("a/b" * 20, None)], "name string, v string")
+    path = str(tmp_path / "summary.xlsx")
+    save_tables_to_excel([t1, t2], path, sheet_names=["kind stats", "weird/name" * 9])
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.attrib["name"] for s in wb.findall(".//m:sheet", ns)]
+        assert names[0] == "kind stats"
+        assert len(names[1]) == 31 and "/" not in names[1]  # Excel limits
+
+        sheet1 = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        rows = sheet1.findall(".//m:row", ns)
+        assert len(rows) == 3  # header + 2 data rows
+
+        def cellvals(row):
+            out = []
+            for c in row.findall("m:c", ns):
+                t = c.find(".//m:t", ns)
+                v = c.find("m:v", ns)
+                out.append(t.text if t is not None else (v.text if v is not None else None))
+            return out
+
+        assert cellvals(rows[0]) == ["kind", "n", "score"]
+        assert cellvals(rows[1]) == ["text", "42", "0.5"]
+        assert cellvals(rows[2]) == ["table", "7", "1.25"]
+
+    # the guard: data-scale frames are rejected
+    import pytest as _pytest
+
+    big = spark.range(0, 50).select("id")
+    with _pytest.raises(ValueError):
+        save_tables_to_excel([big], str(tmp_path / "big.xlsx"), max_rows=10)

@@ -466,3 +466,44 @@ def q58_retrieval_pipeline(spark, sf_dir):
     return budgeted.filter(
         F.col("cum_chars") - F.col("n_chars") < _Q58_BUDGET
     ).select("vec_id", "rerank_score", F.col("cum_chars").cast("long").alias("cum_chars"))
+
+
+# --------------------------------------------------------------------------
+# q59: video frame sampling through the REAL mapInPandas plumbing
+# (spark/multimodal.py sample_frames — the 1-to-many multimodal shape:
+# one input payload -> n frame rows). The stub sampler is equal-stride
+# byte slicing, so the oracle derives every frame hash in SQL from the
+# same byte ranges (documents text is pure ASCII at every SF, so char
+# positions == byte positions; q44 established the payload convention).
+_Q59_FRAMES = 4
+
+_Q59_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id, substr(text, 1, 200) AS p,
+             octet_length(encode(substr(text, 1, 200))) AS nb
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    fr AS (
+      SELECT doc_id, p, nb, nb // {_Q59_FRAMES} AS stride,
+             CAST(UNNEST(range({_Q59_FRAMES})) AS INT) AS frame_idx
+      FROM m
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, frame_idx,
+           CAST(CASE WHEN frame_idx < {_Q59_FRAMES - 1} THEN stride
+                     ELSE nb - {_Q59_FRAMES - 1} * stride END AS INT) AS n_frame_bytes,
+           md5(substr(p, frame_idx * stride + 1,
+                      CASE WHEN frame_idx < {_Q59_FRAMES - 1} THEN stride
+                           ELSE nb - {_Q59_FRAMES - 1} * stride END)) AS frame_hash
+    FROM fr
+"""
+
+
+@register("q59_frame_sample", oracle=_Q59_ORACLE)
+def q59_frame_sample(spark, sf_dir):
+    from sparkextract.queries.wave3 import _media_df
+    from sparkextract.spark.multimodal import sample_frames
+
+    video = _media_df(spark, sf_dir, 200).filter(F.col("media_type") == "video")
+    return sample_frames(video, n_frames=_Q59_FRAMES).select(
+        "media_id", "frame_idx", "n_frame_bytes", "frame_hash"
+    )

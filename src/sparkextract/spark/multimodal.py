@@ -114,3 +114,107 @@ def media_dedup(features: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling & resize — the remaining multimodal plumbing shapes: a
+# 1-to-many mapInPandas (one row per sampled frame) and a payload
+# transformation with metadata update. Decode/encode are STUBBED with
+# deterministic byte math (equal-stride byte slices stand in for ffmpeg
+# keyframe extraction; truncate-or-pad stands in for PIL resize) — swap
+# the stub bodies on a real cluster, the Spark plumbing is unchanged.
+
+FRAME_DDL = (
+    "media_id string, media_type string, frame_idx int, "
+    "n_frame_bytes int, frame_hash string"
+)
+
+RESIZED_DDL = (
+    "media_id string, media_type string, payload binary, "
+    "width int, height int, n_bytes bigint"
+)
+
+
+def _sample_frames_stub(raw: bytes, n_frames: int) -> list[bytes]:
+    """STUB frame sampler: n equal-stride byte slices (last takes the
+    remainder). Real implementation: ffmpeg keyframe/interval sampling."""
+    n = min(n_frames, len(raw))
+    if n == 0:
+        return []
+    stride = len(raw) // n
+    return [
+        raw[i * stride : (i + 1) * stride] if i < n - 1 else raw[(n - 1) * stride :]
+        for i in range(n)
+    ]
+
+
+def _frame_batches(n_frames: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                for i, chunk in enumerate(_sample_frames_stub(raw, n_frames)):
+                    rows.append(
+                        (mid, mtype, i, len(chunk), hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "frame_idx",
+                    "n_frame_bytes",
+                    "frame_hash",
+                ],
+            )
+
+    return gen
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1-to-many: each media payload -> up to ``n_frames`` frame rows.
+
+    Scale: map-only over scan splits; payload bytes stay on the executor
+    that read them — only per-frame hashes/sizes move downstream (the
+    frame bytes themselves would be written to a frame store in a real
+    pipeline; here only their stats flow on)."""
+    from sparkextract.spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(media.sparkSession)
+    return media.mapInPandas(_frame_batches(n_frames), schema=FRAME_DDL)
+
+
+def _resize_stub(raw: bytes, target_bytes: int) -> bytes:
+    """STUB resize: truncate or zero-pad to ``target_bytes``. Real
+    implementation: PIL open -> resize -> re-encode."""
+    if len(raw) >= target_bytes:
+        return raw[:target_bytes]
+    return raw + b"\x00" * (target_bytes - len(raw))
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Payload transformation with metadata update: every payload resized
+    to the (stub) byte size implied by width*height; the binary column is
+    REPLACED, not appended, so downstream stages never see both copies."""
+    from sparkextract.spark.session import ensure_workers_can_import
+
+    target = width * height
+    cols = ["media_id", "media_type", "payload"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(*(pdf[c] for c in cols)):
+                raw = bytes(payload) if payload is not None else b""
+                out = _resize_stub(raw, target)
+                rows.append((mid, mtype, out, width, height, len(out)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "payload", "width", "height", "n_bytes"],
+            )
+
+    ensure_workers_can_import(media.sparkSession)
+    return media.mapInPandas(gen, schema=RESIZED_DDL)

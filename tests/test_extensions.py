@@ -177,3 +177,30 @@ def test_excel_summary_sink_roundtrip(spark, tmp_path):
     big = spark.range(0, 50).select("id")
     with _pytest.raises(ValueError):
         save_tables_to_excel([big], str(tmp_path / "big.xlsx"), max_rows=10)
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    """Frame sampling (1-to-many mapInPandas) and resize (payload
+    replacement with metadata update) plumbing: row multiplicity, byte
+    accounting, and hash agreement with hashlib on the driver."""
+    import hashlib
+
+    from sparkextract.spark.multimodal import resize_media, sample_frames
+
+    payload = bytes(range(100))
+    media = spark.createDataFrame(
+        [("m1", "d1", "video", payload, 64, 64), ("m2", "d2", "video", b"abc", 64, 64)],
+        "media_id string, doc_id string, media_type string, payload binary, width int, height int",
+    )
+    frames = sample_frames(media, n_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id["m1"]) == 4
+    assert [r["n_frame_bytes"] for r in sorted(by_id["m1"], key=lambda r: r["frame_idx"])] == [25, 25, 25, 25]
+    assert by_id["m1"][0]["frame_hash"] == hashlib.md5(payload[:25]).hexdigest()
+    assert len(by_id["m2"]) == 3  # payload shorter than n_frames*1? no: 3 bytes -> 3 frames
+    resized = resize_media(media, width=4, height=4).collect()
+    assert all(r["n_bytes"] == 16 and len(bytes(r["payload"])) == 16 for r in resized)
+    m2 = [r for r in resized if r["media_id"] == "m2"][0]
+    assert bytes(m2["payload"]) == b"abc" + b"\x00" * 13

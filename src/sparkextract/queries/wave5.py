@@ -507,3 +507,65 @@ def q59_frame_sample(spark, sf_dir):
     return sample_frames(video, n_frames=_Q59_FRAMES).select(
         "media_id", "frame_idx", "n_frame_bytes", "frame_hash"
     )
+
+
+# --------------------------------------------------------------------------
+# q60: document-length distribution stats per language — exact
+# interpolated percentiles (median / p90 / p99), the curriculum- and
+# packing-planning stat a training pipeline reads before batching.
+# Spark `percentile` and DuckDB `quantile_cont` share the (n-1)
+# interpolation convention, verified to agree bit-for-bit on integer
+# inputs. Scale shape: exact percentiles need a per-group sort — fine
+# for per-language groups (bounded group count, partial agg shuffles
+# only); at petabyte scale swap in approx_percentile and drop the
+# oracle row (documented tradeoff, not a silent cap).
+@register(
+    "q60_length_distribution",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS p99,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q60_length_distribution(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99D)"), 6).alias("p99"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q61: CUBE aggregation with grouping_id — the full-lattice completion of
+# q29's ROLLUP (A7 family): per-(lang, source) counts plus every
+# subtotal level, disambiguated by the SQL-standard grouping id (Spark
+# grouping_id() and DuckDB GROUPING() share the leftmost-is-MSB bit
+# convention, verified). Scale shape: CUBE expands each input row into
+# 2^k lattice rows BEFORE the shuffle but partial aggregation collapses
+# them map-side; group count stays bounded by |lang| x |source|.
+@register(
+    "q61_cube_lattice",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q61_cube_lattice(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -19,8 +19,20 @@ parquet sink (S9).
 
 from __future__ import annotations
 
+import re
 import zipfile
 from xml.sax.saxutils import escape
+
+# XML 1.0 forbids most control chars and surrogates outright — escape()
+# does not handle them, so they are stripped (what real xlsx writers do)
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]")
+
+
+def _xml_text(s: str) -> str:
+    # \r must be entity-encoded or XML line-ending normalization folds it
+    # to \n on read
+    return escape(_XML_INVALID.sub("", s), {"\r": "&#13;"})
+
 
 from pyspark.sql import DataFrame
 
@@ -65,7 +77,7 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t>{_xml_text(str(value))}</t></is></c>'
 
 
 def _sheet_xml(header: list[str], rows: list[tuple]) -> str:
@@ -120,7 +132,7 @@ def save_tables_to_excel(
         for i in range(n)
     )
     sheets = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{_xml_text(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets_meta)
     )
     rels = "\n".join(

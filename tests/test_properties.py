@@ -157,3 +157,49 @@ def test_fast_html_tokenizer_matches_htmlparser(html):
     from sparkextract.core.boilerplate import extract_html
 
     assert extract_html(html) == _parser_only(html)
+
+
+@given(st.binary(max_size=500), st.integers(min_value=1, max_value=16))
+@settings(deadline=None)
+def test_frame_sampler_partitions_payload(raw, n_frames):
+    """Frame sampling is a partition of the payload: frames concatenate
+    back to the original bytes, and the frame count is min(n, len)."""
+    from sparkextract.spark.multimodal import _sample_frames_stub
+
+    frames = _sample_frames_stub(raw, n_frames)
+    assert b"".join(frames) == raw
+    assert len(frames) == min(n_frames, len(raw))
+    if frames:
+        assert all(len(f) >= 1 for f in frames)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=40),
+            st.one_of(st.none(), st.integers(-10**6, 10**6), st.booleans(),
+                      st.text(max_size=40)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(deadline=None)
+def test_excel_sheet_xml_roundtrip(rows):
+    """The stdlib xlsx sheet XML is well-formed and value-preserving for
+    arbitrary header/cell strings (XML metacharacters, unicode)."""
+    import xml.etree.ElementTree as ET
+
+    from sparkextract.spark.excel import _sheet_xml
+
+    header = ["h&<>\"'", "v"]
+    xml = _sheet_xml(header, [(k, v) for k, v in rows])
+    root = ET.fromstring(xml)  # must parse
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    got_rows = root.findall(".//m:row", ns)
+    assert len(got_rows) == len(rows) + 1
+    first_cell = got_rows[1].find("m:c", ns)
+    from sparkextract.spark.excel import _XML_INVALID
+
+    t = first_cell.find(".//m:t", ns)
+    assert (t.text or "") == _XML_INVALID.sub("", rows[0][0])

@@ -115,3 +115,44 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     assert sorted(got2.values()) == ["0", "2", "4"]
     # first_len carried from the keeper row
     assert all(r["first_len"] == len("alpha text") or r["doc_id"] in ("2", "4") for r in rows)
+
+
+def test_incremental_sidecar_routes_mega_docs(spark, tmp_path):
+    """Mega-docs beyond skew_threshold must be routed VERBATIM to the
+    sidecar for batch pickup (they need the batch job's groupBy
+    reassembly), while small docs are extracted in the stream."""
+    from pyspark.sql import Row
+
+    from sparkextract.schema import DOC_SCHEMA
+    from sparkextract.streaming.incremental import incremental_extract
+
+    def span(i):
+        return Row(kind="text", text=f"span {i} " + "content words here " * 10,
+                   media_ref=None, offset=i)
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="small-1", spans=[span(0)]),
+            Row(doc_id="mega-1", spans=[span(i) for i in range(9)]),
+        ],
+        DOC_SCHEMA,
+    )
+    src = str(tmp_path / "in")
+    docs.write.parquet(src)
+    q = incremental_extract(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        sidecar_path=str(tmp_path / "sidecar"),
+        skew_threshold=4,
+    )
+    q.awaitTermination(300)
+    for sq in spark.streams.active:
+        sq.awaitTermination(300)
+
+    out_ids = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out_ids == {"small-1"}
+    side = spark.read.parquet(str(tmp_path / "sidecar")).collect()
+    assert [r["doc_id"] for r in side] == ["mega-1"]
+    assert len(side[0]["spans"]) == 9  # raw spans untouched

@@ -569,3 +569,80 @@ def q61_cube_lattice(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q62: unknown-input-kind fallback through the gate. The extraction core
+# treats unrecognized span kinds as prose rather than dropping data
+# (core/extract.py extract_input_span else-branch) — a malformed-feed
+# guarantee previously pytest-only. Odd doc_ids get an invented kind;
+# their payloads must come through exactly like 'text' spans.
+@register(
+    "q62_unknown_kind_fallback",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, text,
+           0 AS "offset"
+    FROM documents WHERE n_chars >= 100
+    """,
+)
+def q62_unknown_kind_fallback(spark, sf_dir):
+    from sparkextract.spark.job import extract_exploded
+
+    docs = load(spark, sf_dir, "documents")
+    kind = F.when(F.col("doc_id") % 2 == 1, F.lit("mystery_format_v2")).otherwise(
+        F.lit("text")
+    )
+    spans = F.array(
+        F.struct(
+            kind.alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    out = extract_exploded(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    )
+    return out.select("doc_id", "kind", "text", "offset")
+
+
+# --------------------------------------------------------------------------
+# q63: malformed DUPLICATE-offset inputs stay deterministic through the
+# gate. Two spans share offset 0; the core's multiset tie-break orders
+# them by (kind_rank, src_offset, sub_idx, text) (core/extract.py
+# finalize + extract_document input sort), so output offsets follow the
+# lexicographic order of the two payloads — SQL-derivable with a window
+# over (doc, text). Previously only the partitioning-invariance pytest
+# exercised this.
+@register(
+    "q63_duplicate_offsets",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id, text FROM documents WHERE n_chars >= 100
+      UNION ALL
+      SELECT doc_id, 'zz dup tail ' || text AS text
+      FROM documents WHERE n_chars >= 100
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY text) - 1 AS INT)
+             AS "offset"
+    FROM payloads
+    """,
+)
+def q63_duplicate_offsets(spark, sf_dir):
+    from sparkextract.spark.job import extract_exploded
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    mk = lambda txt: F.struct(
+        F.lit("text").alias("kind"),
+        txt.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    spans = F.array(
+        mk(F.col("text")), mk(F.concat(F.lit("zz dup tail "), F.col("text")))
+    )
+    out = extract_exploded(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    )
+    return out.select("doc_id", "text", "offset")

@@ -1,5 +1,8 @@
-"""Fifth-wave queries: driver-verified overlap chunking (q54) and the
-composed retrieval rerank pipeline (q55).
+"""Fifth-wave queries (round 2): driver-verified overlap chunking (q54),
+composed pipelines (q55 rerank, q58 full retrieval), the OCR clean chain
+(q56), a second k-means iteration (q57), multimodal frame sampling
+(q59), distribution stats (q60), CUBE lattice (q61), and malformed-input
+semantics (q62 unknown kinds, q63 duplicate offsets).
 
 q54 closes the VERDICT round-1 gap "W2 overlap-chunking is never
 driver-verified": driver payloads are all shorter than CHUNK_SIZE, so the

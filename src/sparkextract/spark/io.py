@@ -24,6 +24,23 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOC_SCHEMA).parquet(path)
 
 
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S1 alternate source: JSON-lines documents with the same pinned
+    schema — the common hand-off format for web-scale corpora (one doc
+    per line, nested span array). Schema is pinned, never inferred, so a
+    malformed feed fails loudly; JSONL is line-splittable, so scans
+    parallelize like parquet (minus column pruning — convert to parquet
+    for steady-state storage)."""
+    return spark.read.schema(DOC_SCHEMA).json(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S1 alternate source: ORC documents (pinned schema, columnar,
+    predicate pushdown — interchangeable with parquet for engines that
+    emit ORC)."""
+    return spark.read.schema(DOC_SCHEMA).orc(path)
+
+
 def write_spans_csv(exploded: DataFrame, path: str) -> None:
     """S5 debug sink (newlines escaped so one span = one CSV row)."""
     (

@@ -204,3 +204,28 @@ def test_multimodal_frame_sample_and_resize(spark):
     assert all(r["n_bytes"] == 16 and len(bytes(r["payload"])) == 16 for r in resized)
     m2 = [r for r in resized if r["media_id"] == "m2"][0]
     assert bytes(m2["payload"]) == b"abc" + b"\x00" * 13
+
+
+def test_alternate_document_sources_roundtrip(spark, tmp_path):
+    """S1 alternates: the same pinned-schema document table reads back
+    identically from JSONL and ORC, and extraction over them matches the
+    parquet path byte-for-byte."""
+    from sparkextract.spark.io import read_documents, read_documents_jsonl, read_documents_orc
+    from sparkextract.spark.job import extract_exploded
+    from sparkextract.spark.datagen import corpus_df
+
+    docs = corpus_df(spark, 40, seed=7)
+    pq, jl, oc = (str(tmp_path / n) for n in ("pq", "jl", "oc"))
+    docs.write.parquet(pq)
+    docs.write.json(jl)
+    docs.write.orc(oc)
+
+    def spans(df):
+        return sorted(
+            tuple(r) for r in extract_exploded(df).collect()
+        )
+
+    base = spans(read_documents(spark, pq))
+    assert len(base) > 50
+    assert spans(read_documents_jsonl(spark, jl)) == base
+    assert spans(read_documents_orc(spark, oc)) == base

@@ -649,3 +649,77 @@ def q63_duplicate_offsets(spark, sf_dir):
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
     )
     return out.select("doc_id", "text", "offset")
+
+
+# --------------------------------------------------------------------------
+# q64: TABLE and FORM spans through the oracle gate — until now every
+# gate corpus used table-free payloads, so ruled-table parsing, cell
+# cleaning, duplicate-table suppression (D6), form runs with [Empty]
+# values (F5), and the texts->tables->forms kind ordering were verified
+# by pytest/golden fixtures only. Each document becomes one pdf_layout
+# span containing: its prose, a ruled table, a separator prose line, the
+# SAME ruled table again (must be deduped by rendered-text md5), an
+# unruled whitespace-gap table (the 'stream' detector), and a
+# 3-line form run with an empty value. The expected three output spans
+# (prose chunk, ONE table rendering, form rendering) are exact string
+# constructions in SQL. Parse/render spec: core/tables.py; reference
+# table engines /root/reference/src/table_extractor.py, form widgets
+# /root/reference/src/form_extractor.py:34-44, renderings
+# /root/reference/src/rag/text_processor.py:387-423,494-510.
+_Q64_MID = (
+    "this separator prose line keeps the two identical tables apart and is"
+    " comfortably long"
+)
+
+_Q64_ORACLE = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind,
+           text || chr(10) || '{_Q64_MID}' AS text, 0 AS "offset"
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'table',
+           'h1, h2' || chr(10) ||
+           'c' || CAST(doc_id AS VARCHAR) || ', d' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'e' || CAST(doc_id AS VARCHAR) || ', ',
+           1
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'table',
+           'a' || CAST(doc_id AS VARCHAR) || ', b' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'c' || CAST(doc_id AS VARCHAR) || ', dd' || chr(10) || 'ee, ff',
+           2
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'form',
+           'name_field: v' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'email: [Empty]' || chr(10) || 'status: ok',
+           3
+    FROM documents
+"""
+
+
+@register("q64_pdf_table_form", oracle=_Q64_ORACLE)
+def q64_pdf_table_form(spark, sf_dir):
+    from sparkextract.spark.job import extract_exploded
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    table = F.concat(
+        F.lit("| h1 | h2 |\n| c"), d, F.lit(" | d"), d, F.lit(" |\n| e"), d, F.lit(" |  |")
+    )
+    unruled = F.concat(
+        F.lit("a"), d, F.lit("   b"), d, F.lit("\nc"), d, F.lit("   dd\nee   ff")
+    )
+    form = F.concat(F.lit("name_field: v"), d, F.lit("\nemail:\nstatus: ok"))
+    layout = F.concat_ws(
+        "\n", F.col("text"), table, F.lit(_Q64_MID), table, unruled, form
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("pdf_layout").alias("kind"),
+            layout.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    out = extract_exploded(docs.select(d.alias("doc_id"), spans.alias("spans")))
+    return out.select("doc_id", "kind", "text", "offset")

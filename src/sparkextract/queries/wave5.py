@@ -723,3 +723,72 @@ def q64_pdf_table_form(spark, sf_dir):
     )
     out = extract_exploded(docs.select(d.alias("doc_id"), spans.alias("spans")))
     return out.select("doc_id", "kind", "text", "offset")
+
+
+# --------------------------------------------------------------------------
+# q65: HTML table/form capture and BOTH boilerplate heuristics through
+# the gate (q40 covers only nav/footer/script subtree stripping). Each
+# document's html span carries: its prose in <p>, a link-farm block that
+# must be dropped by LINK DENSITY (>50% anchor chars), a short block
+# that must be dropped by MIN_BLOCK_CHARS, a <table> (captured as a cell
+# grid, empty cell -> None -> rendered blank), and a <form> whose
+# nameless input is skipped and empty value renders [Empty]. Expected
+# spans are exact SQL strings; offsets shift by whether the prose chunk
+# survives the MIN_CHUNK_SIZE gate. Heuristics spec:
+# core/boilerplate.py (north_star DOM text-density); reference families
+# /root/reference/src/pdf_extractor.py:102-257.
+_Q65_ORACLE = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, text,
+           0 AS "offset"
+    FROM documents WHERE n_chars >= 100
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'table',
+           'h1, h2' || chr(10) || 'c' || CAST(doc_id AS VARCHAR) || ', ',
+           CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'form',
+           'f1: v' || CAST(doc_id AS VARCHAR) || chr(10) || 'f2: [Empty]',
+           CASE WHEN n_chars >= 100 THEN 2 ELSE 1 END
+    FROM documents
+"""
+
+
+@register("q65_html_table_form", oracle=_Q65_ORACLE)
+def q65_html_table_form(spark, sf_dir):
+    from sparkextract.spark.job import extract_exploded
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            "<html><body><nav><a href='/h'>home links here</a></nav><article><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><div><a href="/x">mostly anchor text link</a> pad</div>'
+            "<p>tiny</p>"
+            "<table><tr><th>h1</th><th>h2</th></tr><tr><td>c"
+        ),
+        d,
+        F.lit(
+            "</td><td></td></tr></table>"
+            '<form><input name="f1" value="v'
+        ),
+        d,
+        F.lit(
+            '"/><input name="f2"/><input value="nameless"/></form>'
+            "</article><footer><p>footer boilerplate text here</p></footer>"
+            "</body></html>"
+        ),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("html").alias("kind"),
+            html.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    out = extract_exploded(docs.select(d.alias("doc_id"), spans.alias("spans")))
+    return out.select("doc_id", "kind", "text", "offset")

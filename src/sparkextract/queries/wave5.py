@@ -697,10 +697,9 @@ _Q64_ORACLE = f"""
 """
 
 
-@register("q64_pdf_table_form", oracle=_Q64_ORACLE)
-def q64_pdf_table_form(spark, sf_dir):
-    from sparkextract.spark.job import extract_exploded
-
+def _q64_docs(spark, sf_dir):
+    """The q64/q66 corpus: every document as one pdf_layout span holding
+    prose + ruled table (x2, deduped) + unruled table + form run."""
     docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     table = F.concat(
@@ -721,7 +720,14 @@ def q64_pdf_table_form(spark, sf_dir):
             F.lit(0).alias("offset"),
         )
     )
-    out = extract_exploded(docs.select(d.alias("doc_id"), spans.alias("spans")))
+    return docs.select(d.alias("doc_id"), spans.alias("spans"))
+
+
+@register("q64_pdf_table_form", oracle=_Q64_ORACLE)
+def q64_pdf_table_form(spark, sf_dir):
+    from sparkextract.spark.job import extract_exploded
+
+    out = extract_exploded(_q64_docs(spark, sf_dir))
     return out.select("doc_id", "kind", "text", "offset")
 
 
@@ -792,3 +798,70 @@ def q65_html_table_form(spark, sf_dir):
     )
     out = extract_exploded(docs.select(d.alias("doc_id"), spans.alias("spans")))
     return out.select("doc_id", "kind", "text", "offset")
+
+
+# --------------------------------------------------------------------------
+# q66: the A1/A2/A3 confidence formulas (metrics.py span_confidence)
+# through the gate, computed by the REAL column expressions over the
+# REAL extraction output of the q64 corpus; the oracle recomputes each
+# formula in SQL on the known span strings (which implicitly re-verifies
+# the strings too). Split/char-count primitives were verified to agree
+# across engines (string_split '' char explode, regexp split with
+# trailing-empty retention, plain-separator counting). Formula spec:
+# /root/reference/src/text_extractor.py:153-177,388-410 (A2),
+# table_extractor.py:359-387 (A1), form_extractor.py:224-245 (A3).
+_WS_CLS = r"[ \t\n\x0B\f\r]"
+
+
+def _sql_text_conf(t: str) -> str:
+    return (
+        f"ROUND((LEAST(LENGTH({t}) / 1000.0, 1.0)"
+        f" + LEAST(LENGTH(list_distinct(string_split({t}, ''))) / 50.0, 1.0)"
+        f" + (1.0 - ABS(CAST(LENGTH({t}) - LENGTH(regexp_replace({t}, '{_WS_CLS}', '', 'g')) AS DOUBLE)"
+        f" / GREATEST(LENGTH({t}), 1) - 0.15))) / 3.0, 6)"
+    )
+
+
+def _sql_table_conf(t: str) -> str:
+    return (
+        f"ROUND((LEAST(LENGTH(regexp_split_to_array({t}, '[,\\n]')) / 50.0, 1.0)"
+        f" + LEAST(LENGTH(string_split({t}, chr(10))) / 10.0, 1.0)"
+        f" + 1.0) / 3.0, 6)"
+    )
+
+
+def _sql_form_conf(t: str) -> str:
+    n_f = f"LENGTH(string_split({t}, chr(10)))"
+    n_e = f"(LENGTH(string_split({t}, '[Empty]')) - 1)"
+    return (
+        f"ROUND((LEAST({n_f} / 10.0, 1.0)"
+        f" + CAST({n_f} - {n_e} AS DOUBLE) / GREATEST({n_f}, 1)) / 2.0, 6)"
+    )
+
+
+_Q66_D = "CAST(doc_id AS VARCHAR)"
+_Q66_TEXT = f"text || chr(10) || '{_Q64_MID}'"
+_Q66_TBL1 = f"'h1, h2' || chr(10) || 'c' || {_Q66_D} || ', d' || {_Q66_D} || chr(10) || 'e' || {_Q66_D} || ', '"
+_Q66_TBL2 = f"'a' || {_Q66_D} || ', b' || {_Q66_D} || chr(10) || 'c' || {_Q66_D} || ', dd' || chr(10) || 'ee, ff'"
+_Q66_FORM = f"'name_field: v' || {_Q66_D} || chr(10) || 'email: [Empty]' || chr(10) || 'status: ok'"
+
+_Q66_ORACLE = f"""
+    SELECT {_Q66_D} AS doc_id, 'text' AS kind, 0 AS "offset",
+           {_sql_text_conf(f"({_Q66_TEXT})")} AS confidence
+    FROM documents
+    UNION ALL
+    SELECT {_Q66_D}, 'table', 1, {_sql_table_conf(f"({_Q66_TBL1})")} FROM documents
+    UNION ALL
+    SELECT {_Q66_D}, 'table', 2, {_sql_table_conf(f"({_Q66_TBL2})")} FROM documents
+    UNION ALL
+    SELECT {_Q66_D}, 'form', 3, {_sql_form_conf(f"({_Q66_FORM})")} FROM documents
+"""
+
+
+@register("q66_span_confidence", oracle=_Q66_ORACLE)
+def q66_span_confidence(spark, sf_dir):
+    from sparkextract.metrics import with_confidence
+    from sparkextract.spark.job import extract_exploded
+
+    out = extract_exploded(_q64_docs(spark, sf_dir))
+    return with_confidence(out).select("doc_id", "kind", "offset", "confidence")

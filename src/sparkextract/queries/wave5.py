@@ -702,8 +702,13 @@ def _q64_docs(spark, sf_dir):
     prose + ruled table (x2, deduped) + unruled table + form run."""
     docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
+    # third column and third row are entirely nullish sentinels -> P1
+    # must drop both; 'None'/'nan'/'NULL' cells -> P2 must blank them.
+    # The expected rendering is the same 2x3 grid as without them, so a
+    # cleaning regression breaks the hash match.
     table = F.concat(
-        F.lit("| h1 | h2 |\n| c"), d, F.lit(" | d"), d, F.lit(" |\n| e"), d, F.lit(" |  |")
+        F.lit("| h1 | h2 |  |\n| c"), d, F.lit(" | d"), d,
+        F.lit(" | None |\n| None | nan | NULL |\n| e"), d, F.lit(" | None | nan |")
     )
     unruled = F.concat(
         F.lit("a"), d, F.lit("   b"), d, F.lit("\nc"), d, F.lit("   dd\nee   ff")

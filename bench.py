@@ -51,6 +51,7 @@ HEADLINE = [
     "q46_ivf_topk",
     "q53_banded_lsh_near_dup",
     "q54_chunk_overlap",
+    "q64_pdf_table_form",
 ]
 
 

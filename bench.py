@@ -57,10 +57,12 @@ HEADLINE = [
 
 def _ensure_corpus(spark) -> str:
     """Materialize the deterministic bench corpus once (seeded; cached)."""
-    marker = os.path.join(CORPUS_DIR, f"_SUCCESS_{BENCH_DOCS}")
+    # the marker encodes size AND layout, so corpora cached by older code
+    # (session-dependent layout) or at other sizes are regenerated, never
+    # silently reused; mode("overwrite") wipes any stale markers with the
+    # old directory contents
+    marker = os.path.join(CORPUS_DIR, f"_SUCCESS_{BENCH_DOCS}_p64")
     if not os.path.exists(marker):
-        import glob
-
         from sparkextract.spark.datagen import write_corpus
 
         # fixed 64-way layout: the corpus is bit-identical regardless of
@@ -68,12 +70,6 @@ def _ensure_corpus(spark) -> str:
         # it would land as 2 huge files whose row groups cannot split into
         # 16 MB scan tasks, silently starving the multi-core level
         write_corpus(spark, CORPUS_DIR, BENCH_DOCS, seed=42, partitions=64)
-        # drop markers from other corpus sizes: write_corpus overwrote the
-        # directory, so a stale _SUCCESS_<other_n> would otherwise make a
-        # later run at that size silently bench the wrong corpus
-        for old in glob.glob(os.path.join(CORPUS_DIR, "_SUCCESS_*")):
-            if old != marker:
-                os.remove(old)
         open(marker, "w").close()
     return CORPUS_DIR
 

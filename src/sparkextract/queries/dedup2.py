@@ -337,8 +337,9 @@ def q53_banded_lsh_near_dup(spark, sf_dir):
     )
     cx = corpus.select(F.col("vec_id").alias("l"), F.col("e").alias("ex"))
     cy = corpus.select(F.col("vec_id").alias("r"), F.col("e").alias("ey"))
+    # corpus arrays are already double, so _dot/_norm's cast is a no-op
     cosine = F.round(
-        _dot2(F.col("ex"), F.col("ey")) / (_norm2(F.col("ex")) * _norm2(F.col("ey"))), 6
+        _dot(F.col("ex"), F.col("ey")) / (_norm(F.col("ex")) * _norm(F.col("ey"))), 6
     )
     return (
         pairs.join(cx, "l")
@@ -351,12 +352,3 @@ def q53_banded_lsh_near_dup(spark, sf_dir):
         .filter(F.col("cosine") >= 0.8)
     )
 
-
-def _dot2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def _norm2(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -64,12 +64,10 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. Routing is deterministic on doc_id: %3==0 → text (+media span),
     %3==1 → html-wrapped, %3==2 → pdf_layout."""
     docs = load(spark, sf_dir, "documents")
-    payload = F.col("text")
-    html_payload = _routed_payload(F.lit("html"))
     kind = _routed_kind()
     first_span = F.struct(
         kind.alias("kind"),
-        F.when(kind == "html", html_payload).otherwise(payload).alias("text"),
+        _routed_payload(kind).alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(0).alias("offset"),
     )

@@ -34,6 +34,11 @@ def _xml_text(s: str) -> str:
     return escape(_XML_INVALID.sub("", s), {"\r": "&#13;"})
 
 
+def _xml_attr(s: str) -> str:
+    # attribute context additionally needs quote escaping
+    return escape(_XML_INVALID.sub("", s), {"\r": "&#13;", '"': "&quot;", "'": "&apos;"})
+
+
 from pyspark.sql import DataFrame
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -76,6 +81,10 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+            # NaN/Inf are invalid in numeric SpreadsheetML cells — render
+            # as an inline string, matching how they print
+            return f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t>{_xml_text(str(value))}</t></is></c>'
 
@@ -110,12 +119,18 @@ def save_tables_to_excel(
     """Write each DataFrame as one sheet of ``output_path``. Returns the
     total number of data rows written. Raises if any table exceeds
     ``max_rows`` — this sink is for driver-sized summaries only."""
-    sheets_meta = []
+    if not tables:
+        raise ValueError("OOXML requires at least one sheet; got an empty tables list")
+    sheets_meta: list[str] = []
     sheet_parts = []
     for i, df in enumerate(tables):
         name = clean_sheet_name(
             sheet_names[i] if sheet_names and i < len(sheet_names) else f"Table_{i + 1}"
         )
+        if name in sheets_meta:
+            # duplicate names (e.g. two titles sharing a 31-char prefix)
+            # make Excel reject the workbook — disambiguate by index
+            name = clean_sheet_name(f"{name[:27]}_{i + 1}")
         rows = [tuple(r) for r in df.limit(max_rows + 1).collect()]
         if len(rows) > max_rows:
             raise ValueError(
@@ -132,7 +147,7 @@ def save_tables_to_excel(
         for i in range(n)
     )
     sheets = "".join(
-        f'<sheet name="{_xml_text(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name="{_xml_attr(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets_meta)
     )
     rels = "\n".join(

@@ -30,8 +30,10 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     per line, nested span array). Schema is pinned, never inferred, so a
     malformed feed fails loudly; JSONL is line-splittable, so scans
     parallelize like parquet (minus column pruning — convert to parquet
-    for steady-state storage)."""
-    return spark.read.schema(DOC_SCHEMA).json(path)
+    for steady-state storage). FAILFAST: Spark's default PERMISSIVE mode
+    would silently turn a corrupt line into an all-null row (a dropped
+    document); a malformed feed must error instead."""
+    return spark.read.schema(DOC_SCHEMA).option("mode", "FAILFAST").json(path)
 
 
 def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:

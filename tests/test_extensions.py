@@ -178,6 +178,24 @@ def test_excel_summary_sink_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError):
         save_tables_to_excel([big], str(tmp_path / "big.xlsx"), max_rows=10)
 
+    # review-found hardening: quotes in sheet names must stay well-formed,
+    # NaN cells must not emit numeric <v>nan</v>, empty list is rejected,
+    # duplicate (post-truncation) names are disambiguated
+    nasty = str(tmp_path / "nasty.xlsx")
+    nan_df = spark.createDataFrame([(float("nan"), 1.5)], "a double, b double")
+    save_tables_to_excel(
+        [nan_df, nan_df], nasty, sheet_names=['Q1 "draft" stats', 'Q1 "draft" stats']
+    )
+    with zipfile.ZipFile(nasty) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))  # parses -> well-formed
+        names = [sh.attrib["name"] for sh in wb.findall(".//m:sheet", ns)]
+        assert names[0] == 'Q1 "draft" stats' and names[0] != names[1]
+        s1 = z.read("xl/worksheets/sheet1.xml").decode()
+        assert "<v>nan</v>" not in s1 and "<v>1.5</v>" in s1
+        ET.fromstring(s1)
+    with _pytest.raises(ValueError):
+        save_tables_to_excel([], str(tmp_path / "none.xlsx"))
+
 
 def test_multimodal_frame_sample_and_resize(spark):
     """Frame sampling (1-to-many mapInPandas) and resize (payload

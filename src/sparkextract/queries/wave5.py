@@ -870,3 +870,79 @@ def q66_span_confidence(spark, sf_dir):
 
     out = extract_exploded(_q64_docs(spark, sf_dir))
     return with_confidence(out).select("doc_id", "kind", "offset", "confidence")
+
+
+# --------------------------------------------------------------------------
+# q67: winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+# SIGMOD'03) — the ROLLING-hash fingerprinting scheme the training-data
+# brief names (q21's md5 is a whole-document hash): hash every k-gram
+# (k=8) of the 256-char head, slide a w=4 window over the hash sequence,
+# keep each window's minimum, and the distinct minima are the document's
+# fingerprint set (guaranteed-overlap dedup signatures for any match of
+# length >= w+k-1). Scale shape: explode -> per-doc window min (ordered
+# within doc) -> distinct agg; all shuffles keyed by doc_id, fingerprint
+# count bounded per doc by construction.
+_Q67_K = 8
+_Q67_W = 4
+
+_Q67_ORACLE = f"""
+    WITH heads AS (
+      SELECT doc_id, SUBSTRING(text, 1, 256) AS head FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, i,
+             CAST(('0x' || SUBSTRING(md5(SUBSTRING(head, CAST(i AS INT), {_Q67_K})), 1, 8)) AS UBIGINT) AS h,
+             LENGTH(head) - {_Q67_K} + 1 AS n_sh
+      FROM heads, UNNEST(range(1, GREATEST(LENGTH(head) - {_Q67_K} + 1, 1) + 1)) AS t(i)
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {_Q67_W - 1} FOLLOWING) AS fp,
+             n_sh
+      FROM hashes
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE i <= n_sh - {_Q67_W} + 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(fp) AS BIGINT) AS fp_checksum,
+           CAST(MIN(fp) AS BIGINT) AS fp_min
+    FROM fps GROUP BY doc_id
+"""
+
+
+@register("q67_winnowing_fingerprints", oracle=_Q67_ORACLE)
+def q67_winnowing_fingerprints(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 256)
+    n_sh = F.greatest(F.length(head) - (_Q67_K - 1), F.lit(1))
+    hashes = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring(head, i, F.lit(_Q67_K))), 1, 8), 16, 10
+                ).cast("long"),
+            )
+        ).alias("i0", "h"),
+        n_sh.alias("n_sh"),
+    )
+    w = W.partitionBy("doc_id").orderBy("i0").rowsBetween(0, _Q67_W - 1)
+    wins = hashes.withColumn("fp", F.min("h").over(w)).filter(
+        F.col("i0") + 1 <= F.col("n_sh") - _Q67_W + 1
+    )
+    return (
+        wins.select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum("fp").alias("fp_checksum"),
+            F.min("fp").alias("fp_min"),
+        )
+    )

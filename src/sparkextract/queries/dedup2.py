@@ -352,3 +352,160 @@ def q53_banded_lsh_near_dup(spark, sf_dir):
         .filter(F.col("cosine") >= 0.8)
     )
 
+
+
+# --------------------------------------------------------------------------
+# q68: SimHash near-dup JOIN — completes the SimHash family from
+# signatures (q32) to dedup pairing, at the width a real pipeline uses:
+# a 48-bit signature (16 bits as in q32 collides massively at corpus
+# scale — a prototype run emitted 4.5M spurious pairs at sf0.1) split
+# into 6 bands of 8 bits. By pigeonhole, any pair within hamming
+# distance 5 shares at least one identical band, so banded equi-join
+# candidate generation is LOSSLESS for radius-5 hamming-LSH; the exact
+# popcount verify runs only on co-banded pairs. Near-dup pairs are
+# injected exactly like q38 (head-perturbed copies of every 11th doc).
+# Features are distinct word BIGRAMS, not unigrams — this corpus shares
+# a tiny vocabulary, so unigram token sets (and their simhashes) nearly
+# coincide across unrelated docs; bigrams discriminate.
+# Scale shape: equi-join on a (band, value) key of cardinality
+# 6 * 2^8 — band bits are the knob, exactly like q53's hyperplanes.
+_SH_BITS = 48
+_SH_BANDS = 6
+_SH_BAND_BITS = _SH_BITS // _SH_BANDS
+_SH_RADIUS = _SH_BANDS - 1  # lossless pigeonhole radius
+
+
+def _simhash48_sql(corpus_cte: str) -> str:
+    """CTE chain ending in sigs(doc_id, simhash) — 48-bit q32 math."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    return f"""
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM ({corpus_cte})
+    ), toks AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, GREATEST(LENGTH(w) - 1, 0) + 1),
+                       i -> w[i] || ' ' || w[i+1])
+      )) AS tok
+      FROM words
+    ), bits AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(md5(tok), 1, 12))::VARCHAR AS UBIGINT) AS hv
+      FROM toks WHERE tok != ''
+    ), votes AS (
+      SELECT doc_id, {votes} FROM bits GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+_Q68_CORPUS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, 'xxxxxxxxxx' || SUBSTRING(text, 11) AS text
+      FROM documents WHERE doc_id % 11 = 0
+"""
+
+_Q68_ORACLE = f"""
+    WITH {_simhash48_sql(_Q68_CORPUS)},
+    buckets AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * {_SH_BAND_BITS})) & {(1 << _SH_BAND_BITS) - 1} AS bv
+      FROM sigs, (SELECT UNNEST(range({_SH_BANDS})) AS band)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS l, y.doc_id AS r,
+             x.simhash AS sx, y.simhash AS sy
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+    )
+    SELECT l AS left_id, r AS right_id,
+           CAST(bit_count(CAST(xor(sx, sy) AS BIGINT)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(CAST(xor(sx, sy) AS BIGINT)) <= {_SH_RADIUS}
+"""
+
+
+def _simhash48_col(df):
+    """(doc_id, text) df -> (doc_id, simhash) — 48-bit q32 math over
+    distinct word BIGRAMS (unigram token sets barely differ between docs
+    drawn from a small shared vocabulary — measured: a unigram 48-bit
+    simhash still emitted 1.5M hamming<=5 pairs at sf0.1, a bigram one
+    emits ~50 at sf0.01, almost all the injected near-dups)."""
+    w = F.split("text", " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+        )
+    )
+    toks = df.select("doc_id", F.explode(bigrams).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    votes = toks.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("hv", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+@register("q68_simhash_near_dup", oracle=_Q68_ORACLE)
+def q68_simhash_near_dup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("xxxxxxxxxx"), F.expr("substring(text, 11)")).alias("text"),
+    )
+    sigs = _simhash48_col(docs.unionByName(near))
+    mask = (1 << _SH_BAND_BITS) - 1
+    buckets = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * _SH_BAND_BITS).bitwiseAND(F.lit(mask))
+                    for b in range(_SH_BANDS)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    x = buckets.hint("shuffle_hash").alias("x")
+    y = buckets.hint("shuffle_hash").alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("l"),
+            F.col("y.doc_id").alias("r"),
+            F.col("x.simhash").alias("sx"),
+            F.col("y.simhash").alias("sy"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sx").bitwiseXOR(F.col("sy"))).cast("int")
+    return (
+        pairs.select(
+            F.col("l").alias("left_id"), F.col("r").alias("right_id"), hamming.alias("hamming")
+        )
+        .filter(F.col("hamming") <= _SH_RADIUS)
+    )

@@ -439,12 +439,21 @@ def _simhash48_col(df):
     simhash still emitted 1.5M hamming<=5 pairs at sf0.1, a bigram one
     emits ~50 at sf0.01, almost all the injected near-dups)."""
     w = F.split("text", " ")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
-            lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
-        )
-    )
+    # single-word (spaceless) docs have no bigrams: sequence(1, 0) in Spark
+    # is the DESCENDING [1, 0], whose element_at(w, 0) aborts the job, while
+    # DuckDB's range(1, 1) is empty — guard to the empty list so both
+    # engines drop the doc from the signature set identically
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     toks = df.select("doc_id", F.explode(bigrams).alias("tok")).filter(
         F.col("tok") != ""
     )

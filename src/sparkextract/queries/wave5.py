@@ -487,16 +487,19 @@ _Q59_ORACLE = f"""
       FROM documents WHERE doc_id % 4 = 2
     ),
     fr AS (
-      SELECT doc_id, p, nb, nb // {_Q59_FRAMES} AS stride,
-             CAST(UNNEST(range({_Q59_FRAMES})) AS INT) AS frame_idx
-      FROM m
+      -- mirror the stub exactly: n_eff = min(n_frames, nb) frames, zero
+      -- frames for an empty payload (the WHERE also guards the // below)
+      SELECT doc_id, p, nb, LEAST({_Q59_FRAMES}, nb) AS n_eff,
+             nb // LEAST({_Q59_FRAMES}, nb) AS stride,
+             CAST(UNNEST(range(LEAST({_Q59_FRAMES}, nb))) AS INT) AS frame_idx
+      FROM m WHERE nb > 0
     )
     SELECT CAST(doc_id AS VARCHAR) AS media_id, frame_idx,
-           CAST(CASE WHEN frame_idx < {_Q59_FRAMES - 1} THEN stride
-                     ELSE nb - {_Q59_FRAMES - 1} * stride END AS INT) AS n_frame_bytes,
+           CAST(CASE WHEN frame_idx < n_eff - 1 THEN stride
+                     ELSE nb - (n_eff - 1) * stride END AS INT) AS n_frame_bytes,
            md5(substr(p, frame_idx * stride + 1,
-                      CASE WHEN frame_idx < {_Q59_FRAMES - 1} THEN stride
-                           ELSE nb - {_Q59_FRAMES - 1} * stride END)) AS frame_hash
+                      CASE WHEN frame_idx < n_eff - 1 THEN stride
+                           ELSE nb - (n_eff - 1) * stride END)) AS frame_hash
     FROM fr
 """
 

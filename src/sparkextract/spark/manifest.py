@@ -108,6 +108,11 @@ def run_extraction_job(
     # no extra job, no re-read, no recomputation of the extraction
     # subtree. (Grouped aggs aren't expressible in observe(), hence the
     # per-bucket unrolling; num_buckets is a small fixed constant.)
+    # The CollectMetrics node sits ABOVE the bucket repartition, i.e. in
+    # the result/write stage: observed-metric updates from the final
+    # stage are deduplicated per successful task, whereas a map-stage
+    # observe can double-count under stage retry / speculation on a real
+    # cluster (fetch-failure re-execution re-runs map tasks).
     obs = Observation(f"bucket_metrics_{run_id}")
     aggs = []
     for k in range(num_buckets):
@@ -118,11 +123,11 @@ def run_extraction_job(
                 ((F.col("bucket") == k) & (F.col("kind") == config.KIND_TABLE)).cast("long")
             ).alias(f"tc_{k}")
         )
-    observed = exploded.observe(obs, *aggs)
 
     out_dir = os.path.join(_data_dir(root), f"epoch={run_id}")
     (
-        observed.repartition("bucket")
+        exploded.repartition("bucket")
+        .observe(obs, *aggs)
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(out_dir)

@@ -67,7 +67,14 @@ def _dedup_fn(key, pdfs, state: GroupState):
         n_seen = 0
     if n_seen == 0 and rows:
         allrows = pd.concat(rows, ignore_index=True)
-        keeper = allrows.sort_values("doc_id").iloc[[0]]
+        # keeper = lowest doc_id in NUMERIC order for the usual integer
+        # ids: (length, string) ordering equals numeric order for
+        # non-negative decimals without leading zeros (and is still a
+        # deterministic total order for arbitrary string ids), so the
+        # streaming survivor matches the batch q11 min(doc_id) survivor —
+        # plain lexicographic sort would pick '10' over '9'
+        allrows = allrows.assign(_len=allrows["doc_id"].str.len())
+        keeper = allrows.sort_values(["_len", "doc_id"]).iloc[[0]]
         yield pd.DataFrame(
             {
                 "content_hash": keeper["content_hash"].values,

@@ -247,3 +247,18 @@ def test_alternate_document_sources_roundtrip(spark, tmp_path):
     assert len(base) > 50
     assert spans(read_documents_jsonl(spark, jl)) == base
     assert spans(read_documents_orc(spark, oc)) == base
+
+
+def test_simhash_bigrams_spaceless_doc(spark):
+    # ADVICE r2: a doc with no space used to hit sequence(1, 0) == [1, 0]
+    # and abort on element_at(w, 0); now it simply has no bigrams and is
+    # absent from the signature set (matching DuckDB's empty range(1,1))
+    from sparkextract.queries.dedup2 import _simhash48_col
+
+    docs = spark.createDataFrame(
+        [(1, "spaceless"), (2, ""), (3, "two words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in _simhash48_col(docs).collect()}
+    assert set(sigs) == {3}
+    assert isinstance(sigs[3], int)

@@ -156,3 +156,25 @@ def test_incremental_sidecar_routes_mega_docs(spark, tmp_path):
     side = spark.read.parquet(str(tmp_path / "sidecar")).collect()
     assert [r["doc_id"] for r in side] == ["mega-1"]
     assert len(side[0]["spans"]) == 9  # raw spans untouched
+
+def test_streaming_dedup_keeper_is_numeric_min(spark, tmp_path):
+    # ADVICE r2: lexicographic sort picked '10' over '9'; the
+    # (length, string) keeper order must match batch q11's numeric min
+    from sparkextract.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    _docs_df(spark, [(10, "same text"), (9, "same text")]).write.mode("append").parquet(src)
+    q = (
+        streaming_dedup(spark.readStream.schema("doc_id string, text string").parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == ["9"]

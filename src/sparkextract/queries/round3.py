@@ -1,0 +1,280 @@
+"""Round-3 operators: form-field grouping (F6), similarity-scored
+cross-extraction comparison (soft J4), and near-dup pair -> cluster
+connected components.
+
+- q69: the reference's keyword classifier that buckets form fields into
+  personal_info / address / contact / general
+  (/root/reference/src/rag/text_processor.py:466-492), run over REAL
+  extraction form output (q64-style corpus) as a when/contains chain.
+- q70: the reference's text-validation comparison — a similarity score
+  between two extraction methods' outputs for the same document,
+  thresholded at 0.8 (/root/reference/src/utils/validation.py:208-244,
+  threshold /root/reference/src/config/settings.py:99-104). difflib's
+  SequenceMatcher.ratio() is not SQL-expressible; the engine analog both
+  Spark and DuckDB share natively is the edit-distance ratio
+  ``1 - levenshtein(a, b) / max(len(a), len(b))``.
+- q71: transitive closure of q53's near-dup pairs into duplicate
+  CLUSTERS via iterated min-label propagation, so a pipeline can pick
+  one survivor per group (the step the pair-emitting joins q38/q53/q68
+  stop short of).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkextract.queries.base import load, register
+from sparkextract.queries.dedup2 import _Q53_ORACLE, q53_banded_lsh_near_dup
+
+# --------------------------------------------------------------------------
+# q69: form-field grouping (F6). Keyword lists and their precedence are
+# the reference's, verbatim (text_processor.py:466-492): personal_info
+# is checked FIRST, so 'username' (contains 'name') and 'full_address'
+# (contains 'full') both land in personal_info, and 'statement'
+# (contains 'state') lands in address — substring containment, not word
+# match, exactly like the reference's `keyword in field_name`.
+_GROUP_KEYWORDS = [
+    ("personal_info", ["name", "first", "last", "full"]),
+    ("address", ["address", "street", "city", "state", "zip"]),
+    ("contact", ["phone", "email", "contact"]),
+]
+
+# (rendered form line, None when unconditional | modulus when the field
+# is present only for doc_id % m == 0). Every doc keeps >= 4
+# unconditional lines so the run always clears FORM_MIN_RUN.
+_Q69_FIELDS = [
+    ("first_name: a", None),  # personal_info
+    ("username: u", 2),  # personal_info ('name' substring, precedence)
+    ("full_address: f", 6),  # personal_info ('full' beats 'address')
+    ("street_address: s", None),  # address
+    ("zip:", 3),  # address, empty value -> '[Empty]'
+    ("statement: x", 4),  # address ('state' substring)
+    ("email: e", None),  # contact
+    ("phone:", 5),  # contact, empty value
+    ("notes: n", None),  # general
+]
+
+
+def _q69_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    parts = [F.col("text")]
+    for prefix, mod in _Q69_FIELDS:
+        line = F.concat(F.lit(prefix), d) if prefix[-1] != ":" else F.lit(prefix)
+        if mod is None:
+            parts.append(line)
+        else:
+            # concat_ws drops NULLs, so an excluded field leaves no line
+            parts.append(F.when(F.col("doc_id") % mod == 0, line))
+    spans = F.array(
+        F.struct(
+            F.lit("pdf_layout").alias("kind"),
+            F.concat_ws("\n", *parts).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+    return docs.select(d.alias("doc_id"), spans.alias("spans"))
+
+
+def _q69_oracle() -> str:
+    # derive each group's per-doc field count straight from the corpus
+    # construction (the gate's usual exact-construction oracle style)
+    group_mods = {"personal_info": [], "address": [], "contact": [], "general": []}
+    group_base = {g: 0 for g in group_mods}
+    for prefix, mod in _Q69_FIELDS:
+        name = prefix.split(":")[0].lower()
+        grp = "general"
+        for g, kws in _GROUP_KEYWORDS:
+            if any(k in name for k in kws):
+                grp = g
+                break
+        if mod is None:
+            group_base[grp] += 1
+        else:
+            group_mods[grp].append(mod)
+    selects = []
+    for g in ("personal_info", "address", "contact", "general"):
+        per_doc = " + ".join(
+            [str(group_base[g])]
+            + [f"CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END" for m in group_mods[g]]
+        )
+        names = " + ".join(
+            [str(group_base[g])]
+            + [
+                f"MAX(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END)"
+                for m in group_mods[g]
+            ]
+        )
+        selects.append(
+            f"SELECT '{g}' AS field_group, "
+            f"CAST(SUM({per_doc}) AS BIGINT) AS n_fields, "
+            f"CAST({names} AS BIGINT) AS n_names FROM documents"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register("q69_field_groups", oracle=_q69_oracle())
+def q69_field_groups(spark, sf_dir):
+    """F6: extract form spans, then classify each `name: value` field by
+    the reference keyword chain and count per group. The classifier is a
+    pure when/contains column chain (JVM-side); only the extraction
+    itself crosses into Python (Arrow-batched, as everywhere)."""
+    from sparkextract.spark.job import extract_exploded
+
+    out = extract_exploded(_q69_docs(spark, sf_dir))
+    fields = out.filter(F.col("kind") == "form").select(
+        F.explode(F.split("text", "\n")).alias("line")
+    )
+    name = F.lower(F.trim(F.substring_index("line", ":", 1)))
+    grp = None
+    for g, kws in _GROUP_KEYWORDS:
+        cond = reduce(lambda a, b: a | b, [name.contains(k) for k in kws])
+        grp = (grp if grp is not None else F).when(cond, F.lit(g))
+    grp = grp.otherwise(F.lit("general"))
+    return (
+        fields.select(name.alias("name"), grp.alias("field_group"))
+        .groupBy("field_group")
+        .agg(
+            F.count("*").alias("n_fields"),
+            F.countDistinct("name").alias("n_names"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q70: similarity-scored cross-extraction comparison (soft J4). Two
+# "methods" produce text for the same doc: method A = the document text,
+# method B = the same text with its first (doc_id % 13) chars rewritten —
+# the deterministic stand-in for two extractors disagreeing on a prefix.
+# score = 1 - levenshtein/maxlen, pass = score >= 0.8 (reference
+# threshold). Both texts are capped at 120 chars: levenshtein is O(n*m)
+# per pair in BOTH engines, so a real pipeline compares bounded prefixes
+# (or hashes equal-length blocks) rather than whole documents — the cap
+# is the documented scale guard, not a convenience.
+_Q70_CAP = 120
+
+_Q70_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+             substr(text, 1, {_Q70_CAP}) AS a,
+             substr(repeat('x', CAST(doc_id % 13 AS INT))
+                    || substr(text, CAST(doc_id % 13 AS INT) + 1),
+                    1, {_Q70_CAP}) AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 - CAST(levenshtein(a, b) AS DOUBLE)
+                       / GREATEST(LENGTH(a), LENGTH(b), 1), 6) AS similarity,
+           (1.0 - CAST(levenshtein(a, b) AS DOUBLE)
+                  / GREATEST(LENGTH(a), LENGTH(b), 1)) >= 0.8 AS agree
+    FROM m
+"""
+
+
+@register("q70_text_similarity", oracle=_Q70_ORACLE)
+def q70_text_similarity(spark, sf_dir):
+    """Soft J4: per-doc edit-distance similarity between two method
+    variants, thresholded at the reference's 0.8. Map-only: every
+    expression is a JVM built-in over one scan, no shuffle at all."""
+    docs = load(spark, sf_dir, "documents")
+    a = F.substring("text", 1, _Q70_CAP)
+    b = F.substring(
+        F.concat(
+            F.expr("repeat('x', CAST(doc_id % 13 AS INT))"),
+            F.expr("substring(text, CAST(doc_id % 13 AS INT) + 1)"),
+        ),
+        1,
+        _Q70_CAP,
+    )
+    sim = 1.0 - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(sim, 6).alias("similarity"),
+        (sim >= 0.8).alias("agree"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q71: duplicate-pair -> duplicate-cluster connected components over
+# q53's near-dup pair output, via iterated min-label propagation (each
+# node repeatedly adopts the minimum label among itself and its
+# neighbors until a fixed point — the classic distributed
+# connected-components loop; see also q52/q57's iterative shape).
+# Scale shape: each iteration is ONE shuffle of label-sized rows on the
+# node id plus an edge join on the same key; iteration count is the
+# component diameter (tiny for near-dup clusters). The label frame is
+# localCheckpoint()ed every iteration so lineage (and replay cost) stays
+# O(1) per round instead of O(rounds) — the same persist-between-
+# iterations discipline a 100 TB Lloyd's run needs (q57 docstring).
+# Oracle: DuckDB recursive CTE computing min reachable id per node.
+_Q71_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_Q53_ORACLE}
+),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION ALL
+  SELECT right_id, left_id FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT vec_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM (
+  SELECT id AS vec_id, MIN(lbl) AS component FROM reach GROUP BY id
+)
+"""
+
+
+@register("q71_dup_components", oracle=_Q71_ORACLE)
+def q71_dup_components(spark, sf_dir):
+    edges = (
+        q53_banded_lsh_near_dup(spark, sf_dir)
+        .select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    # bounded fixed-point loop: near-dup components have tiny diameters,
+    # but the convergence test (not the bound) is what terminates — the
+    # cap only guards against a pathological chain corpus
+    for _ in range(30):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        joined = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("lbl").alias("old"),
+            F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"),
+        )
+        joined = joined.localCheckpoint()
+        if joined.filter(F.col("lbl") < F.col("old")).count() == 0:
+            break
+        labels = joined.drop("old")
+    else:
+        raise RuntimeError("q71 label propagation did not converge in 30 rounds")
+    labels = joined.drop("old")
+    edges.unpersist()
+    w = F.count("*").over(Window.partitionBy("lbl"))
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("lbl").alias("component"),
+        w.alias("cluster_size"),
+    )

@@ -69,12 +69,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from sparkextract.queries.registry import SPARK_QUERIES
+    """Consolidated driver view (see queries/panels.py): the round
+    driver records at most ~50 correctness rows per round, so
+    same-family operators are exported as tagged union PANELS plus the
+    standalone queries — every fine-grained operator still contributes
+    its exact rows (and its own oracle twin) through its panel."""
+    from sparkextract.queries.registry import driver_queries
 
-    return dict(SPARK_QUERIES)
+    return driver_queries()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    from sparkextract.queries.registry import ORACLE_SQL
+    from sparkextract.queries.registry import driver_queries
 
-    return dict(ORACLE_SQL)
+    return driver_queries()[1]

@@ -1,4 +1,14 @@
-"""Aggregated query registry — importing the modules populates the dicts."""
+"""Aggregated query registry — importing the modules populates the dicts.
+
+Two surfaces:
+
+- ``SPARK_QUERIES`` / ``ORACLE_SQL``: every fine-grained query (the full
+  operator inventory; what tests and ``check_queries.py --full`` use).
+- ``driver_queries()``: the consolidated driver-contract view — panels
+  (see ``queries.panels``) plus the unpaneled queries, sized to fit the
+  round driver's bounded correctness run list so every operator family
+  gets a scoreboard row each round.
+"""
 
 from __future__ import annotations
 
@@ -14,4 +24,11 @@ import sparkextract.queries.wave4  # noqa: F401
 import sparkextract.queries.wave5  # noqa: F401
 from sparkextract.queries.base import ORACLE_SQL, SPARK_QUERIES
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]
+
+def driver_queries() -> tuple[dict, dict]:
+    from sparkextract.queries.panels import driver_view
+
+    return driver_view()
+
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "driver_queries"]

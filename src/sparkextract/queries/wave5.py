@@ -322,6 +322,11 @@ def _q57_oracle() -> str:
 
 @register("q57_kmeans_step2", oracle=_q57_oracle())
 def q57_kmeans_step2(spark, sf_dir):
+    """Two chained Lloyd's iterations. At 100 TB, persist (or write out)
+    the assignment DataFrame between iterations — otherwise each
+    iteration's `_km_assign` re-scans the full embeddings table; at gate
+    scale the double scan is cheaper than a cache, so it is left
+    unpersisted here (q71 shows the per-iteration localCheckpoint form)."""
     from sparkextract.queries.wave4 import (
         _km_assign,
         _km_cent_arrays,
@@ -561,7 +566,7 @@ def q60_length_distribution(spark, sf_dir):
 @register(
     "q61_cube_lattice",
     oracle="""
-    SELECT lang, source,
+    SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
            CAST(GROUPING(lang, source) AS INT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -569,11 +574,23 @@ def q60_length_distribution(spark, sf_dir):
     """,
 )
 def q61_cube_lattice(spark, sf_dir):
+    # superaggregate NULLs are rendered '(all)' (q29's convention); gid
+    # still disambiguates a real '(all)' value from a lattice level
     docs = load(spark, sf_dir, "documents")
-    return docs.cube("lang", "source").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
     )
 
 

@@ -262,3 +262,26 @@ def test_simhash_bigrams_spaceless_doc(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in _simhash48_col(docs).collect()}
     assert set(sigs) == {3}
     assert isinstance(sigs[3], int)
+
+
+def test_driver_view_fits_cap_and_covers_registry():
+    # the round driver records at most 50 queries() entries
+    # (CORRECTNESS_r02.json == first 50 registry entries): the exported
+    # view must stay under the cap with headroom, keep 1:1 oracles, and
+    # account for every fine-grained query either directly or via a panel
+    from sparkextract.queries.panels import PANEL_SPECS, PANELED
+    from sparkextract.queries.registry import SPARK_QUERIES, driver_queries
+
+    sq, osql = driver_queries()
+    assert len(sq) <= 48
+    assert set(osql) == set(sq)
+    exported = set(sq)
+    for name in SPARK_QUERIES:
+        assert name in exported or name in PANELED, name
+    for pname, (cols, parts) in PANEL_SPECS.items():
+        tags = [t for t, _, _ in parts]
+        assert len(set(tags)) == len(tags), pname
+        colnames = {c for c, _ in cols}
+        for _tag, fine, mapping in parts:
+            assert fine in SPARK_QUERIES, fine
+            assert set(mapping) <= colnames, (pname, fine)

@@ -3,7 +3,11 @@ Spark query and its DuckDB oracle on the same sf dir; compare row count,
 column names, and order-insensitive values (exact, after canonicalizing
 numeric types).
 
-Usage: python tools/check_queries.py [sf_dir] [query_name ...]
+Usage: python tools/check_queries.py [--full] [sf_dir] [query_name ...]
+
+Default checks the DRIVER view (panels + unpaneled queries — exactly
+what __spark_entry__.queries() exports); --full checks every
+fine-grained query individually instead.
 """
 
 from __future__ import annotations
@@ -33,15 +37,27 @@ def canon(v):
 
 def rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+    def key(t):
+        # None-safe total order: NULLs sort first within a column slot
+        return tuple((v is None, type(v).__name__, 0 if v is None else v) for v in t)
+
+    return sorted((tuple(canon(r[i]) for i in idx) for r in rows), key=key)
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    from sparkextract.queries.registry import ORACLE_SQL, SPARK_QUERIES
+    from sparkextract.queries.registry import driver_queries
     from sparkextract.spark.session import get_spark
+
+    if full:
+        from sparkextract.queries.registry import ORACLE_SQL, SPARK_QUERIES
+    else:
+        SPARK_QUERIES, ORACLE_SQL = driver_queries()
 
     spark = get_spark("check-queries", master="local[8]", shuffle_partitions=8)
 

@@ -72,6 +72,20 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"left_id": "left_id", "right_id": "right_id", "score": "hamming"}),
         ],
     ),
+    # D6/J1 continuation: pair output -> transitive clusters -> survivor
+    # application (the full dedup endgame).
+    "panel_dup_clusters": (
+        [("vec_id", "long"), ("component", "long"), ("cluster_size", "long"),
+         ("survivor_id", "long"), ("is_survivor", "boolean")],
+        [
+            ("components", "q71_dup_components",
+             {"vec_id": "vec_id", "component": "component",
+              "cluster_size": "cluster_size"}),
+            ("survivors", "q72_dup_survivors",
+             {"vec_id": "vec_id", "survivor_id": "survivor_id",
+              "is_survivor": "is_survivor"}),
+        ],
+    ),
     # D4/F13 signature tables (64-bit simhash; 4-band minhash).
     "panel_signatures": (
         [("doc_id", "long"), ("simhash", "long"),
@@ -347,7 +361,8 @@ PANELED: frozenset[str] = frozenset(
 _FRONT = [
     "q69_field_groups",
     "q70_text_similarity",
-    "q71_dup_components",
+    "q73_tfidf_topk",
+    "panel_dup_clusters",
     "q54_chunk_overlap",
     "q56_ocr_clean_chain",
     "q66_span_confidence",

@@ -236,8 +236,17 @@ FROM (
 """
 
 
-@register("q71_dup_components", oracle=_Q71_ORACLE)
-def q71_dup_components(spark, sf_dir):
+# the propagation loop runs actions eagerly (convergence tests), so when
+# q71 and q72 share one session+input (the panel view unions both) the
+# localCheckpoint()ed fixed point is reused instead of recomputed
+_COMPONENTS_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _dup_components(spark, sf_dir):
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COMPONENTS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     edges = (
         q53_banded_lsh_near_dup(spark, sf_dir)
         .select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
@@ -272,9 +281,125 @@ def q71_dup_components(spark, sf_dir):
         raise RuntimeError("q71 label propagation did not converge in 30 rounds")
     labels = joined.drop("old")
     edges.unpersist()
+    _COMPONENTS_MEMO[memo_key] = labels
+    return labels
+
+
+@register("q71_dup_components", oracle=_Q71_ORACLE)
+def q71_dup_components(spark, sf_dir):
+    labels = _dup_components(spark, sf_dir)
     w = F.count("*").over(Window.partitionBy("lbl"))
     return labels.select(
         F.col("id").alias("vec_id"),
         F.col("lbl").alias("component"),
         w.alias("cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q72: apply the q71 clusters back to the corpus — the step a real
+# training-data dedup pipeline actually ends with: every vector keeps a
+# canonical ``survivor_id`` (its component's min id under min-label
+# propagation, i.e. the component label itself; unclustered rows survive
+# as themselves) and non-survivor cluster members are the rows a cleaned
+# corpus drops. Scale shape: the labels side holds ONLY clustered nodes
+# (a tiny fraction of the corpus), so the left join is broadcast; the
+# corpus is never shuffled.
+_Q72_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, component FROM ({_Q71_ORACLE}) _c
+)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS survivor_id,
+       (c.component IS NULL OR c.component = e.vec_id) AS is_survivor
+FROM embeddings e
+LEFT JOIN comp c ON c.vec_id = e.vec_id
+"""
+
+
+@register("q72_dup_survivors", oracle=_Q72_ORACLE)
+def q72_dup_survivors(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    labels = _dup_components(spark, sf_dir).select(
+        F.col("id").alias("c_vec_id"), F.col("lbl").alias("component")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    survivor = F.coalesce("component", "vec_id")
+    return emb.join(
+        broadcast(labels), emb["vec_id"] == labels["c_vec_id"], "left"
+    ).select(
+        "vec_id",
+        survivor.alias("survivor_id"),
+        (F.col("component").isNull() | (F.col("component") == F.col("vec_id"))).alias(
+            "is_survivor"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q73: TF-IDF top-3 terms per document — keyword extraction, the text-
+# analysis op a training-data pipeline runs corpus-wide. idf uses natural
+# log of (N+1)/(df+1); scores are ROUND(...,6)-ed BEFORE ordering (the
+# repo's float-compare discipline: Java Math.log and DuckDB ln may differ
+# in the last ulp) with the token string as the total-order tie-break.
+# Scale shape: explode -> (doc,token) partial-agg groupBy (1 shuffle) ->
+# token-grain df agg (1 shuffle over vocab-sized data) -> equi-join tf
+# with df on token (vocab-keyed shuffle join; no broadcast assumption, a
+# web-corpus vocabulary is large) -> per-doc window (1 shuffle on
+# doc_id). Every shuffle is key-partitioned; nothing is quadratic.
+_Q73_K = 3
+
+_Q73_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE LENGTH(t) >= 2
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= {_Q73_K}
+"""
+
+
+@register("q73_tfidf_topk", oracle=_Q73_ORACLE)
+def q73_tfidf_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= 2)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _Q73_K)
+        .select("doc_id", "token", "tf", "tfidf")
     )

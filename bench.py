@@ -63,6 +63,7 @@ HEADLINE = [
     "q64_pdf_table_form",
     "q67_winnowing_fingerprints",
     "q68_simhash_near_dup",
+    "q73_tfidf_topk",
 ]
 
 

@@ -109,18 +109,15 @@ WHERE ROUND(
 """
 
 
-def _plane_sign_spark(i, plane: int):
-    first_hex = F.substring(F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 1)
-    return F.when(first_hex.isin(*list("02468ace")), F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
 def _bucket_col():
-    def plane_proj(p: int):
-        def mul(x, i):
-            return x.cast("double") * _plane_sign_spark(i, p)
+    # signs hoisted to driver-side literals (hashlib md5 == engine md5):
+    # the hyperplane depends on (plane, i) only — see q28's note
+    from sparkextract.queries.vector import _plane_signs_py
 
+    def plane_proj(p: int):
+        signs = F.lit(_plane_signs_py(p))
         return F.aggregate(
-            F.zip_with(F.col("embedding"), F.sequence(F.lit(1), F.lit(_DIM)), mul),
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -297,16 +294,34 @@ def _band_sig_col(band: int):
     # whole-stage codegen's method-size limit (32 planes x 64 terms) and
     # drop the whole stage to interpreted mode; higher-order functions
     # are evaluated outside codegen and keep the rest of the stage fast.
-    sig = F.lit(0)
-    for p in range(_PLANES):
-        signs = F.array(*[F.lit(s) for s in _plane_signs(band, p)])
-        proj = F.aggregate(
-            F.zip_with(F.col("e"), signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig.cast("int")
+    #
+    # The plane loop is itself a fold over a NESTED-ARRAY LITERAL (one
+    # Literal node holding the 8x64 sign matrix) rather than 8 unrolled
+    # per-plane expressions each carrying a 64-element CreateArray: the
+    # unrolled form put ~2k literal leaves and 64 lambda nodes into the
+    # plan per query, and Catalyst analysis/optimization of that tree —
+    # not execution — dominated q53's wall time (~3s of the bench
+    # number at any SF). Fold order over planes is p ascending with
+    # integer adds; per-plane projection order is i ascending — both
+    # bit-identical to the unrolled form and the SQL oracle.
+    signs_matrix = F.lit([_plane_signs(band, p) for p in range(_PLANES)])
+    weights = F.lit([1 << p for p in range(_PLANES)])
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PLANES)),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"), F.element_at(signs_matrix, p), lambda x, s: x * s
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.element_at(weights, p),
+        ).otherwise(F.lit(0)),
+    ).cast("int")
 
 
 @register("q53_banded_lsh_near_dup", oracle=_Q53_ORACLE)

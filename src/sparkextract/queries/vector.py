@@ -100,21 +100,28 @@ FROM (
 """
 
 
-def _plane_sign_spark(i, plane: int):
-    first_hex = F.substring(F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 1)
-    return F.when(first_hex.isin(*list("02468ace")), F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_signs_py(plane: int) -> list[float]:
+    # driver-side evaluation of the same md5-parity rule the oracle
+    # computes inline: hashlib md5 == engine md5, byte for byte, so the
+    # signs are a CONSTANT matrix — embedding it as one nested-array
+    # literal replaces 4x64 per-ROW md5 calls with zero (the hyperplane
+    # is a function of (plane, i) only; recomputing it per row is pure
+    # waste at any scale, and at 100 TB it is 256 hashes per vector)
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0] in "02468ace" else -1.0
+        for i in range(1, _DIM + 1)
+    ]
 
 
 def q28_lsh_buckets(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    def plane_proj(p: int):
-        # two-arg lambda built by a factory — a default-arg closure would
-        # change the visible arity Spark uses to bind lambda variables
-        def mul(x, i):
-            return x.cast("double") * _plane_sign_spark(i, p)
 
+    def plane_proj(p: int):
+        signs = F.lit(_plane_signs_py(p))
         return F.aggregate(
-            F.zip_with(F.col("embedding"), F.sequence(F.lit(1), F.lit(_DIM)), mul),
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

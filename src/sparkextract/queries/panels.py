@@ -362,6 +362,7 @@ _FRONT = [
     "q69_field_groups",
     "q70_text_similarity",
     "q73_tfidf_topk",
+    "q74_answer_confidence",
     "panel_dup_clusters",
     "q54_chunk_overlap",
     "q56_ocr_clean_chain",

@@ -403,3 +403,127 @@ def q73_tfidf_topk(spark, sf_dir):
         .filter(F.col("rn") <= _Q73_K)
         .select("doc_id", "token", "tf", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+# q74: F8 — the reference's LLM-answer confidence heuristic
+# (/root/reference/src/rag/ollama_client.py:271-321). The LLM itself is
+# out of scope (no model serving in an extraction engine), but the
+# heuristic is pure string math over the answer text: presence (not
+# occurrence count) of each phrase in four indicator lists, +/- fixed
+# deltas from a 0.7 base, short/long length penalties, clamp to [0,1].
+# All deltas are multiples of 0.05, so the score is computed in INTEGER
+# centi-points (70 - 10*u - 5*h + 5*c + 10*ci - len_penalty, clamped to
+# [0,100]) and divided by 100 once at the end — bit-identical across
+# engines with no float-summation-order hazard. Answers are synthesized
+# deterministically from document text with phrase/length injections
+# keyed on doc_id so every branch of the formula is exercised.
+# Scale shape: map-only single scan; every predicate is a JVM built-in
+# `contains` — Catalyst keeps the whole projection in codegen.
+_Q74_PHRASES = {
+    # (category, delta_centi_per_present_phrase, phrases) — lists verbatim
+    # from the reference, order immaterial (presence counts are summed)
+    "uncertainty": (-10, ["not sure", "unclear", "might be", "possibly", "uncertain"]),
+    "hedging": (-5, ["perhaps", "maybe", "likely", "appears", "seems"]),
+    "certainty": (5, ["clearly", "definitely", "specifically", "exactly", "precisely"]),
+    "citation": (10, ["according to", "as stated", "the document shows", "mentioned in"]),
+}
+
+# doc_id-keyed injections: (modulus, appended phrase)
+_Q74_INJECT = [
+    (5, " not sure"),
+    (6, " possibly"),
+    (7, " clearly"),
+    (11, " according to"),
+    (13, " maybe"),
+    (17, " definitely precisely"),
+]
+
+
+def _q74_answer_sql() -> str:
+    base = (
+        "CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 30) "
+        "WHEN doc_id % 9 = 0 THEN substr(repeat(text || ' ', 30), 1, 1100) "
+        "ELSE substr(text, 1, 200) END"
+    )
+    parts = [base] + [
+        f"CASE WHEN doc_id % {m} = 0 THEN '{p}' ELSE '' END" for m, p in _Q74_INJECT
+    ]
+    return " || ".join(parts)
+
+
+def _q74_oracle() -> str:
+    cats = {}
+    for cat, (_delta, phrases) in _Q74_PHRASES.items():
+        cats[cat] = " + ".join(
+            f"CASE WHEN position('{p}' IN ans) > 0 THEN 1 ELSE 0 END" for p in phrases
+        )
+    return f"""
+WITH answers AS (
+  SELECT doc_id, {_q74_answer_sql()} AS ans FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         LENGTH(ans) AS answer_len,
+         {cats['uncertainty']} AS n_uncertain,
+         {cats['hedging']} AS n_hedge,
+         {cats['certainty']} AS n_certain,
+         {cats['citation']} AS n_cite
+  FROM answers
+)
+SELECT doc_id, n_uncertain, n_hedge, n_certain, n_cite,
+       CAST(answer_len AS BIGINT) AS answer_len,
+       GREATEST(0, LEAST(100,
+         70 - 10*n_uncertain - 5*n_hedge + 5*n_certain + 10*n_cite
+           - CASE WHEN answer_len < 50 THEN 10
+                  WHEN answer_len > 1000 THEN 5 ELSE 0 END)) / 100.0
+         AS confidence
+FROM counted
+"""
+
+
+@register("q74_answer_confidence", oracle=_q74_oracle())
+def q74_answer_confidence(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        F.when(F.col("doc_id") % 4 == 0, F.substring("text", 1, 30))
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.substring(F.repeat(F.concat(F.col("text"), F.lit(" ")), 30), 1, 1100),
+        )
+        .otherwise(F.substring("text", 1, 200))
+    )
+    ans = F.concat(
+        base,
+        *[
+            F.when(F.col("doc_id") % m == 0, F.lit(p)).otherwise(F.lit(""))
+            for m, p in _Q74_INJECT
+        ],
+    )
+    d = docs.select("doc_id", ans.alias("ans"))
+    counts = {}
+    for cat, (_delta, phrases) in _Q74_PHRASES.items():
+        c = None
+        for p in phrases:
+            t = F.when(F.col("ans").contains(p), 1).otherwise(0)
+            c = t if c is None else c + t
+        counts[cat] = c
+    centi = (
+        F.lit(70)
+        - 10 * counts["uncertainty"]
+        - 5 * counts["hedging"]
+        + 5 * counts["certainty"]
+        + 10 * counts["citation"]
+        - F.when(F.length("ans") < 50, 10)
+        .when(F.length("ans") > 1000, 5)
+        .otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        counts["uncertainty"].alias("n_uncertain"),
+        counts["hedging"].alias("n_hedge"),
+        counts["certainty"].alias("n_certain"),
+        counts["citation"].alias("n_cite"),
+        F.length("ans").cast("long").alias("answer_len"),
+        (F.greatest(F.lit(0), F.least(F.lit(100), centi)) / 100.0).alias("confidence"),
+    )

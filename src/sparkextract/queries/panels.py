@@ -86,6 +86,24 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "is_survivor": "is_survivor"}),
         ],
     ),
+    # quality family: weighted score (source-grain) + hard per-doc
+    # rule cascade (C4/Gopher-style keep/reject).
+    "panel_quality": (
+        [("source", "string"), ("avg_quality", "double"), ("n_good", "long"),
+         ("doc_id", "long"), ("n_words", "long"), ("n_distinct", "long"),
+         ("diversity", "double"), ("mean_word_len", "double"),
+         ("reject_reason", "string"), ("keep", "boolean")],
+        [
+            ("weighted_score", "q25_quality_score",
+             {"source": "source", "avg_quality": "avg_quality",
+              "n_good": "n_good"}),
+            ("rule_cascade", "q75_quality_rules",
+             {"doc_id": "doc_id", "n_words": "n_words",
+              "n_distinct": "n_distinct", "diversity": "diversity",
+              "mean_word_len": "mean_word_len",
+              "reject_reason": "reject_reason", "keep": "keep"}),
+        ],
+    ),
     # D4/F13 signature tables (64-bit simhash; 4-band minhash).
     "panel_signatures": (
         [("doc_id", "long"), ("simhash", "long"),
@@ -363,6 +381,7 @@ _FRONT = [
     "q70_text_similarity",
     "q73_tfidf_topk",
     "q74_answer_confidence",
+    "panel_quality",
     "panel_dup_clusters",
     "q54_chunk_overlap",
     "q56_ocr_clean_chain",

@@ -527,3 +527,92 @@ def q74_answer_confidence(spark, sf_dir):
         F.length("ans").cast("long").alias("answer_len"),
         (F.greatest(F.lit(0), F.least(F.lit(100), centi)) / 100.0).alias("confidence"),
     )
+
+
+# --------------------------------------------------------------------------
+# q75: rule-based document-quality filter — the C4/Gopher-style cleaning
+# pass a web-scale training-data pipeline runs before anything else:
+# per-document word count bounds, mean-word-length band, and lexical-
+# diversity floor, each doc tagged keep/reject with the FIRST failing
+# rule as its reject_reason (rules are ordered, like the published
+# pipelines' cascades). Complements q25 (weighted quality score,
+# source-grain): this is the hard per-doc verdict.
+# Float discipline: diversity and mean_word_len are each ONE IEEE
+# division of exact integers (identical in both engines); threshold
+# compares run on the raw quotient, ROUND only for display.
+# Scale shape: map-only over one scan — no shuffle, fully codegen'd.
+_Q75_MIN_WORDS = 50
+_Q75_MAX_WORDS = 5000
+_Q75_WLEN_LO = 2.0
+_Q75_WLEN_HI = 12.0
+_Q75_MIN_DIVERSITY = 0.05
+
+_Q75_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         CAST(LENGTH(list_distinct(list_filter(
+             regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct,
+         CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace
+  FROM documents
+),
+v AS (
+  SELECT doc_id, n_words, n_distinct,
+         CAST(n_distinct AS DOUBLE) / n_words AS diversity,
+         CAST(n_nonspace AS DOUBLE) / n_words AS mean_wlen
+  FROM m
+)
+SELECT doc_id, n_words, n_distinct,
+       ROUND(diversity, 6) AS diversity,
+       ROUND(mean_wlen, 6) AS mean_word_len,
+       CASE WHEN n_words < {_Q75_MIN_WORDS} THEN 'too_short'
+            WHEN n_words > {_Q75_MAX_WORDS} THEN 'too_long'
+            WHEN mean_wlen < {_Q75_WLEN_LO} OR mean_wlen > {_Q75_WLEN_HI} THEN 'word_len'
+            WHEN diversity < {_Q75_MIN_DIVERSITY} THEN 'repetitive'
+            ELSE 'pass' END AS reject_reason,
+       (n_words >= {_Q75_MIN_WORDS} AND n_words <= {_Q75_MAX_WORDS}
+        AND mean_wlen >= {_Q75_WLEN_LO} AND mean_wlen <= {_Q75_WLEN_HI}
+        AND diversity >= {_Q75_MIN_DIVERSITY}) AS keep
+FROM v
+"""
+
+
+@register("q75_quality_rules", oracle=_Q75_ORACLE)
+def q75_quality_rules(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    n_distinct = F.size(
+        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    ).cast("long")
+    n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        n_nonspace.alias("n_nonspace"),
+    )
+    diversity = F.col("n_distinct").cast("double") / F.col("n_words")
+    mean_wlen = F.col("n_nonspace").cast("double") / F.col("n_words")
+    reason = (
+        F.when(F.col("n_words") < _Q75_MIN_WORDS, "too_short")
+        .when(F.col("n_words") > _Q75_MAX_WORDS, "too_long")
+        .when((mean_wlen < _Q75_WLEN_LO) | (mean_wlen > _Q75_WLEN_HI), "word_len")
+        .when(diversity < _Q75_MIN_DIVERSITY, "repetitive")
+        .otherwise("pass")
+    )
+    keep = (
+        (F.col("n_words") >= _Q75_MIN_WORDS)
+        & (F.col("n_words") <= _Q75_MAX_WORDS)
+        & (mean_wlen >= _Q75_WLEN_LO)
+        & (mean_wlen <= _Q75_WLEN_HI)
+        & (diversity >= _Q75_MIN_DIVERSITY)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(diversity, 6).alias("diversity"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        reason.alias("reject_reason"),
+        keep.alias("keep"),
+    )

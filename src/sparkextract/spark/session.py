@@ -97,8 +97,10 @@ def get_spark(
             builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try:
-        spark.sparkContext.addPyFile(build_pyfiles_zip())
-    except Exception:
-        pass  # already added in a reused session
+    # ship via the same idempotent path the job modules use: a session
+    # must only ever hold ONE sparkextract.zip — addPyFile registers by
+    # basename, so adding a second (rebuilt) zip whose bytes differ
+    # makes every executor fail its fetch-consistency check ("exists and
+    # does not match contents") for the rest of the app's lifetime
+    ensure_workers_can_import(spark)
     return spark

@@ -86,13 +86,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "is_survivor": "is_survivor"}),
         ],
     ),
-    # quality family: weighted score (source-grain) + hard per-doc
-    # rule cascade (C4/Gopher-style keep/reject).
+    # quality family: weighted score (source-grain), hard per-doc rule
+    # cascade (C4/Gopher-style keep/reject), and the composed
+    # filter->dedup->rollup cleaning pipeline.
     "panel_quality": (
         [("source", "string"), ("avg_quality", "double"), ("n_good", "long"),
          ("doc_id", "long"), ("n_words", "long"), ("n_distinct", "long"),
          ("diversity", "double"), ("mean_word_len", "double"),
-         ("reject_reason", "string"), ("keep", "boolean")],
+         ("reject_reason", "string"), ("keep", "boolean"),
+         ("lang", "string"), ("n_docs", "long"), ("total_words", "long"),
+         ("n_suppressed", "long"), ("min_keeper", "long")],
         [
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
@@ -102,6 +105,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "n_distinct": "n_distinct", "diversity": "diversity",
               "mean_word_len": "mean_word_len",
               "reject_reason": "reject_reason", "keep": "keep"}),
+            ("clean_pipeline", "q76_clean_pipeline",
+             {"lang": "lang", "source": "source", "n_docs": "n_docs",
+              "total_words": "total_words", "n_suppressed": "n_suppressed",
+              "min_keeper": "min_keeper"}),
         ],
     ),
     # D4/F13 signature tables (64-bit simhash; 4-band minhash).

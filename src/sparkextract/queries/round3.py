@@ -616,3 +616,80 @@ def q75_quality_rules(spark, sf_dir):
         reason.alias("reject_reason"),
         keep.alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q76: the cleaning pipeline END-TO-END in one declarative plan — what a
+# training-data job actually runs nightly: inject duplicates (q11's
+# corpus construction), apply the q75 rule cascade, collapse exact
+# duplicates to their min-doc_id survivor, then roll the surviving
+# corpus up per (lang, source). Composition matters here: Catalyst fuses
+# the quality predicates into the scan stage, the dedup is ONE
+# map-side-combined groupBy on md5(text), and the final rollup is a
+# second small shuffle — no driver round-trips anywhere.
+# Scale shape: scan -> codegen'd filter -> hash-agg on content hash
+# (partial+final) -> hash-agg on (lang, source). Two key-partitioned
+# shuffles total, the second over already-deduped rows.
+_Q76_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 7 = 0
+),
+m AS (
+  SELECT doc_id, text, lang, source,
+         CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         CAST(LENGTH(list_distinct(list_filter(
+             regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM m
+  WHERE n_words >= {_Q75_MIN_WORDS} AND n_words <= {_Q75_MAX_WORDS}
+    AND CAST(n_distinct AS DOUBLE) / n_words >= {_Q75_MIN_DIVERSITY}
+),
+deduped AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
+         MIN(lang) AS lang, MIN(source) AS source, MIN(n_words) AS n_words
+  FROM kept GROUP BY md5(text)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_suppressed,
+       CAST(MIN(keeper) AS BIGINT) AS min_keeper
+FROM deduped GROUP BY lang, source
+"""
+
+
+@register("q76_clean_pipeline", oracle=_Q76_ORACLE)
+def q76_clean_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = docs.unionByName(dup)
+    n_words = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    n_distinct = F.size(
+        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    ).cast("long")
+    m = corpus.select("doc_id", "text", "lang", "source",
+                      n_words.alias("n_words"), n_distinct.alias("n_distinct"))
+    kept = m.filter(
+        (F.col("n_words") >= _Q75_MIN_WORDS)
+        & (F.col("n_words") <= _Q75_MAX_WORDS)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= _Q75_MIN_DIVERSITY)
+    )
+    deduped = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").alias("n_copies"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.min("n_words").alias("n_words"),
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum(F.col("n_copies") - 1).alias("n_suppressed"),
+        F.min("keeper").alias("min_keeper"),
+    )

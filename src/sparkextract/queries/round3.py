@@ -238,8 +238,12 @@ FROM (
 
 # the propagation loop runs actions eagerly (convergence tests), so when
 # q71 and q72 share one session+input (the panel view unions both) the
-# localCheckpoint()ed fixed point is reused instead of recomputed
+# localCheckpoint()ed fixed point is reused instead of recomputed.
+# FIFO-bounded: entries for stopped sessions would otherwise pin dead
+# DataFrame/JVM-gateway references for the process lifetime (pytest and
+# repeated driver rounds run many sessions in one process)
 _COMPONENTS_MEMO: dict[tuple[str, str], object] = {}
+_COMPONENTS_MEMO_CAP = 4
 
 
 def _dup_components(spark, sf_dir):
@@ -281,6 +285,8 @@ def _dup_components(spark, sf_dir):
         raise RuntimeError("q71 label propagation did not converge in 30 rounds")
     labels = joined.drop("old")
     edges.unpersist()
+    while len(_COMPONENTS_MEMO) >= _COMPONENTS_MEMO_CAP:
+        _COMPONENTS_MEMO.pop(next(iter(_COMPONENTS_MEMO)))
     _COMPONENTS_MEMO[memo_key] = labels
     return labels
 
@@ -388,13 +394,18 @@ def q73_tfidf_topk(spark, sf_dir):
     ).filter(F.length("token") >= 2)
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df, "token").select(
+    # N as a lazy broadcast 1-row aggregate (the oracle's CROSS JOIN n
+    # shape) — an eager docs.count() here would run an extra full-scan
+    # driver action at plan-BUILD time on every invocation
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(df, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
         "tf",
         F.round(
-            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+            6,
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
@@ -547,12 +558,33 @@ _Q75_WLEN_LO = 2.0
 _Q75_WLEN_HI = 12.0
 _Q75_MIN_DIVERSITY = 0.05
 
+# shared word-metric definitions: q75's rule filter and q76's composed
+# pipeline MUST tokenize identically in BOTH engines, so each metric has
+# exactly one SQL fragment and one Spark builder (drift between the two
+# queries would be invisible to the oracle gate — both engines would
+# drift together)
+_SQL_N_WORDS = "CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+_SQL_N_DISTINCT = (
+    "CAST(LENGTH(list_distinct(list_filter("
+    "regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT)"
+)
+
+
+def _n_words_col():
+    return F.regexp_count("text", F.lit(r"\S+")).cast("long")
+
+
+def _n_distinct_col():
+    return F.size(
+        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    ).cast("long")
+
+
 _Q75_ORACLE = f"""
 WITH m AS (
   SELECT doc_id,
-         CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
-         CAST(LENGTH(list_distinct(list_filter(
-             regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct,
+         {_SQL_N_WORDS} AS n_words,
+         {_SQL_N_DISTINCT} AS n_distinct,
          CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_nonspace
   FROM documents
 ),
@@ -580,19 +612,20 @@ FROM v
 @register("q75_quality_rules", oracle=_Q75_ORACLE)
 def q75_quality_rules(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    n_words = F.regexp_count("text", F.lit(r"\S+")).cast("long")
-    n_distinct = F.size(
-        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-    ).cast("long")
     n_nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
     m = docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct"),
+        _n_words_col().alias("n_words"),
+        _n_distinct_col().alias("n_distinct"),
         n_nonspace.alias("n_nonspace"),
     )
-    diversity = F.col("n_distinct").cast("double") / F.col("n_words")
-    mean_wlen = F.col("n_nonspace").cast("double") / F.col("n_words")
+    # NULL (not NaN) for zero-word docs: Spark's double x/0 is IEEE NaN
+    # while DuckDB's is NULL — guard the divisions so a whitespace-only
+    # document (the exact junk this filter exists for) cannot split the
+    # engines; reject_reason still reads 'too_short' via the first rule
+    nz_words = F.when(F.col("n_words") > 0, F.col("n_words"))
+    diversity = F.col("n_distinct").cast("double") / nz_words
+    mean_wlen = F.col("n_nonspace").cast("double") / nz_words
     reason = (
         F.when(F.col("n_words") < _Q75_MIN_WORDS, "too_short")
         .when(F.col("n_words") > _Q75_MAX_WORDS, "too_long")
@@ -638,9 +671,8 @@ WITH corpus AS (
 ),
 m AS (
   SELECT doc_id, text, lang, source,
-         CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
-         CAST(LENGTH(list_distinct(list_filter(
-             regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct
+         {_SQL_N_WORDS} AS n_words,
+         {_SQL_N_DISTINCT} AS n_distinct
   FROM corpus
 ),
 kept AS (
@@ -669,12 +701,9 @@ def q76_clean_pipeline(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
     )
     corpus = docs.unionByName(dup)
-    n_words = F.regexp_count("text", F.lit(r"\S+")).cast("long")
-    n_distinct = F.size(
-        F.array_distinct(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-    ).cast("long")
     m = corpus.select("doc_id", "text", "lang", "source",
-                      n_words.alias("n_words"), n_distinct.alias("n_distinct"))
+                      _n_words_col().alias("n_words"),
+                      _n_distinct_col().alias("n_distinct"))
     kept = m.filter(
         (F.col("n_words") >= _Q75_MIN_WORDS)
         & (F.col("n_words") <= _Q75_MAX_WORDS)

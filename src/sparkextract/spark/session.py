@@ -45,8 +45,13 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         return
     try:
         sc.addPyFile(build_pyfiles_zip())
-    except Exception:
-        pass  # e.g. duplicate add on a reused session
+    except Exception as e:
+        # a duplicate add on a reused session means the zip IS shipped —
+        # record that; any other failure (temp-dir/IO error building the
+        # zip) must stay retryable, or every pandas-UDF stage would hit
+        # executor-side ModuleNotFoundError for the rest of the app
+        if "exist" not in str(e).lower():
+            return
     sc._sparkextract_pyfiles_added = True
 
 

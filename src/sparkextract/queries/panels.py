@@ -246,10 +246,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "cum_chars": "cum_chars"}),
         ],
     ),
-    # event windows: rank-top-k per user; running cumulative sum.
+    # event windows: rank-top-k per user; running cumulative sum; as-of
+    # join (latest prior 'view' per 'click' via tagged-union window).
     "panel_event_windows": (
         [("user_id", "long"), ("event_id", "long"), ("value", "double"),
-         ("rn", "long"), ("running_value", "double")],
+         ("rn", "long"), ("running_value", "double"),
+         ("view_id", "long"), ("gap_us", "long")],
         [
             ("topk_per_user", "q06_topk_events_per_user",
              {"user_id": "user_id", "event_id": "event_id",
@@ -257,6 +259,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("running_sum", "q07_running_value",
              {"user_id": "user_id", "event_id": "event_id",
               "running_value": "running_value"}),
+            ("asof_join", "q77_asof_join",
+             {"user_id": "user_id", "event_id": "click_id",
+              "view_id": "view_id", "gap_us": "gap_us"}),
         ],
     ),
     # document windows: dense chunk index; cumulative char budget.

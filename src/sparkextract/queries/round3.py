@@ -722,3 +722,80 @@ def q76_clean_pipeline(spark, sf_dir):
         F.sum(F.col("n_copies") - 1).alias("n_suppressed"),
         F.min("keeper").alias("min_keeper"),
     )
+
+
+# --------------------------------------------------------------------------
+# q77: AS-OF JOIN — for every 'click' event, the latest 'view' event of
+# the same user at or before it (plus the gap). Spark has no asof-join
+# operator; the scale-safe construction is NOT a range join (O(n*m)
+# per key) but a tagged UNION + one ordered window per key: views carry
+# their own id/timestamp as ref columns, clicks carry NULLs, and
+# last(ref, ignorenulls) over (user ORDER BY us, is_probe, event_id
+# ROWS UNBOUNDED PRECEDING..CURRENT) resolves each click's predecessor
+# in a single pass. ONE shuffle on user_id; ties at equal timestamps
+# are deterministic (views sort before clicks, then by event_id).
+# Clicks with no prior view keep NULLs — left-asof semantics.
+_Q77_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, 0 AS is_probe, event_id,
+         event_id AS ref_id, CAST(epoch_us(ts) AS BIGINT) AS ref_us
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT), 1, event_id, NULL, NULL
+  FROM events WHERE event_type = 'click'
+),
+w AS (
+  SELECT *,
+         last_value(ref_id IGNORE NULLS) OVER win AS view_id,
+         last_value(ref_us IGNORE NULLS) OVER win AS view_us
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_id,
+       CAST(view_id AS BIGINT) AS view_id,
+       CAST(us - view_us AS BIGINT) AS gap_us
+FROM w WHERE is_probe = 1
+"""
+
+
+@register("q77_asof_join", oracle=_Q77_ORACLE)
+def q77_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "us",
+        F.lit(0).alias("is_probe"),
+        "event_id",
+        F.col("event_id").alias("ref_id"),
+        F.col("us").alias("ref_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "us",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("long").alias("ref_id"),
+        F.lit(None).cast("long").alias("ref_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(clicks).select(
+        "*",
+        F.last("ref_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("ref_us", ignorenulls=True).over(w).alias("view_us"),
+    )
+    return tagged.filter(F.col("is_probe") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        "view_id",
+        (F.col("us") - F.col("view_us")).alias("gap_us"),
+    )

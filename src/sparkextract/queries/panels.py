@@ -174,11 +174,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "ws_tokens": "ws_tokens", "fertility": "fertility"}),
         ],
     ),
-    # per-language document profile: length percentiles + confidence.
+    # per-language document profile: length percentiles + confidence +
+    # deterministic stratified train/val/test split counts.
     "panel_doc_profile": (
         [("lang", "string"), ("n_docs", "long"), ("min_chars", "long"),
          ("p50", "double"), ("p90", "double"), ("p99", "double"),
-         ("max_chars", "long"), ("avg_conf", "double"), ("min_conf", "double")],
+         ("max_chars", "long"), ("avg_conf", "double"), ("min_conf", "double"),
+         ("split", "string"), ("total_chars", "long")],
         [
             ("length_dist", "q60_length_distribution",
              {"lang": "lang", "n_docs": "n_docs", "min_chars": "min_chars",
@@ -186,6 +188,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("confidence", "q51_confidence_rollup",
              {"lang": "lang", "n_docs": "n_docs",
               "avg_conf": "avg_conf", "min_conf": "min_conf"}),
+            ("stratified_split", "q78_stratified_split",
+             {"lang": "lang", "split": "split", "n_docs": "n_docs",
+              "total_chars": "total_chars"}),
         ],
     ),
     # event_type-grain aggregates: stats + JSON-props extraction.

@@ -799,3 +799,48 @@ def q77_asof_join(spark, sf_dir):
         "view_id",
         (F.col("us") - F.col("view_us")).alias("gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q78: deterministic stratified train/val/test split — the last step of
+# a training-data pipeline: every document lands in a split by an
+# md5-derived hash bucket of its id (90/5/5), NEVER by rand() — the
+# assignment must be reproducible across runs, engines, and
+# repartitioning, which is exactly the repo's md5-pseudo-randomness
+# discipline (engine hash() functions differ; md5 is bit-identical
+# everywhere). Stratification is reported per (lang, split) so mixture
+# weights are auditable. Map-only projection + one grouped agg.
+_Q78_ORACLE = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@register("q78_stratified_split", oracle=_Q78_ORACLE)
+def q78_stratified_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

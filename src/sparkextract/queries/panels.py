@@ -299,14 +299,19 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"c_custkey": "c_custkey", "c_mktsegment": "c_mktsegment"}),
         ],
     ),
-    # dim-join revenue rollups (star join via region; broadcast part dim).
+    # dim-join revenue rollups (star join via region; broadcast part
+    # dim) + the salted skew-join technique (oracle = unsalted join).
     "panel_join_revenue": (
-        [("dim", "string"), ("revenue", "double"), ("n_rows", "long")],
+        [("dim", "string"), ("revenue", "double"), ("n_rows", "long"),
+         ("n_keys", "long")],
         [
             ("region", "q03_region_sales",
              {"dim": "r_name", "revenue": "revenue", "n_rows": "n_lineitems"}),
             ("brand_top5", "q16_brand_revenue",
              {"dim": "p_brand", "revenue": "revenue", "n_rows": "n_items"}),
+            ("salted_skew", "q79_salted_skew_join",
+             {"dim": "seg", "revenue": "sum_value", "n_rows": "n_rows",
+              "n_keys": "n_keys"}),
         ],
     ),
     # embedding diagnostics: LSH bucket histogram; per-label quality.

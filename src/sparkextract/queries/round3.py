@@ -844,3 +844,69 @@ def q78_stratified_split(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q79: SALTED SKEW JOIN — the manual-salting technique as a standalone,
+# oracle-proven operator (q42 applies it inside the extraction job; this
+# is the relational form). A skewed fact key (every third user collapsed
+# onto user 0, ~33% of the table) would put one-third of the shuffle on
+# a single reducer in a plain key-join. Instead: the fact side gets a
+# deterministic salt (md5-derived, engine-identical — NEVER engine
+# hash()/rand()), the small dim side is replicated across all S salts,
+# and the join key becomes (key, salt) — the hot key's rows spread over
+# S reducers. The oracle is the UNSALTED join: identical results prove
+# salting is a pure physical rewrite. At 100 TB you'd drive S from the
+# observed key histogram (or lean on AQE skew-join for sort-merge
+# plans); the shape here is the one you need when the dim is
+# broadcast-too-big and AQE can't split (e.g. bucketed SHJ).
+_Q79_SALTS = 8
+
+_Q79_ORACLE = """
+WITH fact AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k, value
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k
+  FROM events
+),
+labeled AS (
+  SELECT k, CASE WHEN k = 0 THEN 'hot' ELSE 'uniform' END AS seg FROM dim
+)
+SELECT l.seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(f.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT f.k) AS BIGINT) AS n_keys
+FROM fact f JOIN labeled l ON f.k = l.k
+GROUP BY l.seg
+"""
+
+
+@register("q79_salted_skew_join", oracle=_Q79_ORACLE)
+def q79_salted_skew_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 3 == 0, F.lit(0)).otherwise(F.col("user_id"))
+    # deterministic fact-side salt (md5 of the row id, engine-portable)
+    salt = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _Q79_SALTS
+    )
+    fact = ev.select(k.alias("k"), salt.alias("salt"), "value")
+    dim = (
+        ev.select(k.alias("k"))
+        .distinct()
+        .select("k", F.when(F.col("k") == 0, "hot").otherwise("uniform").alias("seg"))
+    )
+    # replicate the dim across every salt value (dim is small; the
+    # replication factor S multiplies only the SMALL side)
+    dim_salted = dim.crossJoin(
+        spark.range(_Q79_SALTS).select(F.col("id").cast("long").alias("salt"))
+    )
+    joined = fact.hint("shuffle_hash").join(dim_salted, ["k", "salt"])
+    return joined.groupBy("seg").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.countDistinct("k").alias("n_keys"),
+    )

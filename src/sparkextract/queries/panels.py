@@ -193,17 +193,23 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "total_chars": "total_chars"}),
         ],
     ),
-    # event_type-grain aggregates: stats + JSON-props extraction.
+    # event_type-grain aggregates: stats + JSON-props extraction +
+    # hourly hypertable-style rollup.
     "panel_event_stats": (
         [("event_type", "string"), ("n_events", "long"), ("sum_value", "double"),
          ("first_us", "long"), ("last_us", "long"),
-         ("sum_k", "long"), ("n_high", "long")],
+         ("sum_k", "long"), ("n_high", "long"),
+         ("bucket_hour", "long"), ("n_users", "long")],
         [
             ("type_stats", "q05_event_type_stats",
              {"event_type": "event_type", "n_events": "n_events",
               "sum_value": "sum_value", "first_us": "first_us", "last_us": "last_us"}),
             ("json_props", "q26_json_props",
              {"event_type": "event_type", "sum_k": "sum_k", "n_high": "n_high"}),
+            ("time_bucket", "q80_time_bucket_rollup",
+             {"event_type": "event_type", "n_events": "n_events",
+              "sum_value": "sum_value", "bucket_hour": "bucket_hour",
+              "n_users": "n_users"}),
         ],
     ),
     # grouping-set lattices: ROLLUP over lineitem, CUBE over documents.
@@ -251,12 +257,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "cum_chars": "cum_chars"}),
         ],
     ),
-    # event windows: rank-top-k per user; running cumulative sum; as-of
-    # join (latest prior 'view' per 'click' via tagged-union window).
+    # event windows + temporal joins: rank-top-k per user; running
+    # cumulative sum; as-of join; banded range join.
     "panel_event_windows": (
         [("user_id", "long"), ("event_id", "long"), ("value", "double"),
          ("rn", "long"), ("running_value", "double"),
-         ("view_id", "long"), ("gap_us", "long")],
+         ("view_id", "long"), ("gap_us", "long"),
+         ("click_id", "long"), ("dt_us", "long")],
         [
             ("topk_per_user", "q06_topk_events_per_user",
              {"user_id": "user_id", "event_id": "event_id",
@@ -267,6 +274,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("asof_join", "q77_asof_join",
              {"user_id": "user_id", "event_id": "click_id",
               "view_id": "view_id", "gap_us": "gap_us"}),
+            ("range_join", "q81_range_join_banded",
+             {"user_id": "user_id", "event_id": "error_id",
+              "click_id": "click_id", "dt_us": "dt_us"}),
         ],
     ),
     # document windows: dense chunk index; cumulative char budget.

@@ -910,3 +910,107 @@ def q79_salted_skew_join(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
         F.countDistinct("k").alias("n_keys"),
     )
+
+
+# --------------------------------------------------------------------------
+# q80: time-bucket rollup (hypertable-style continuous aggregate): hourly
+# buckets per event_type with count / exact decimal sum / distinct users.
+# Bucketing is INTEGER division of epoch microseconds (`div` in Spark,
+# `//` in DuckDB) — float division of large epochs can misbucket at
+# boundaries, so neither engine touches a double until the sum renders.
+# Scale shape: single groupBy on (bucket, type) — partial agg map-side;
+# at 100 TB this is the query you materialize incrementally per
+# ingestion window, and the bucket key is the partition column.
+_Q80_BUCKET_US = 3_600_000_000  # 1 hour
+
+_Q80_ORACLE = f"""
+SELECT CAST(epoch_us(ts) // {_Q80_BUCKET_US} AS BIGINT) AS bucket_hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q80_time_bucket_rollup", oracle=_Q80_ORACLE)
+def q80_time_bucket_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    bucket = F.expr(f"us div {_Q80_BUCKET_US}")
+    return (
+        ev.select(bucket.alias("bucket_hour"), "event_type", "value", "user_id")
+        .groupBy("bucket_hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q81: BANDED RANGE JOIN — every 'click' within ±2h of an 'error' for
+# the same user. A naive range join is a per-key cross product; the
+# scale-safe construction BANDS time into window-width buckets: each
+# error probes (band-1, band, band+1) — any |dt| <= W pair must share
+# one of those — so candidate generation is an EQUI-join on (user_id,
+# band) and the exact |dt| predicate runs only on co-banded pairs.
+# Exactly the q53/q68 LSH shape transplanted to the time axis; band
+# width is the knob that bounds expected bucket size. (Spark would
+# otherwise plan this theta-join as BroadcastNestedLoopJoin.)
+_Q81_W_US = 7_200_000_000  # ±2 hours
+
+_Q81_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id AS error_id, CAST(epoch_us(ts) AS BIGINT) AS eus
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS cus
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.user_id, e.error_id, c.click_id,
+       CAST(c.cus - e.eus AS BIGINT) AS dt_us
+FROM e JOIN c ON e.user_id = c.user_id
+             AND ABS(c.cus - e.eus) <= {_Q81_W_US}
+"""
+
+
+@register("q81_range_join_banded", oracle=_Q81_ORACLE)
+def q81_range_join_banded(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("us").alias("eus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("cus"),
+        F.expr(f"us div {_Q81_W_US}").alias("band"),
+    )
+    probe = errors.select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"eus div {_Q81_W_US}") - 1,
+                F.expr(f"eus div {_Q81_W_US}"),
+                F.expr(f"eus div {_Q81_W_US}") + 1,
+            )
+        ).alias("band"),
+    )
+    return (
+        probe.hint("shuffle_hash")
+        .join(clicks, ["user_id", "band"])
+        .filter(F.abs(F.col("cus") - F.col("eus")) <= _Q81_W_US)
+        .select(
+            "user_id",
+            "error_id",
+            "click_id",
+            (F.col("cus") - F.col("eus")).alias("dt_us"),
+        )
+    )

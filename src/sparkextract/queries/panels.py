@@ -415,6 +415,10 @@ _FRONT = [
     "q74_answer_confidence",
     "panel_quality",
     "panel_dup_clusters",
+    "panel_event_windows",
+    "panel_event_stats",
+    "panel_join_revenue",
+    "panel_doc_profile",
     "q54_chunk_overlap",
     "q56_ocr_clean_chain",
     "q66_span_confidence",
@@ -423,7 +427,6 @@ _FRONT = [
     "panel_extract_edges",
     "panel_kmeans",
     "panel_retrieval",
-    "panel_doc_profile",
     "panel_grouping_sets",
     "panel_media",
 ]

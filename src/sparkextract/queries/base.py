@@ -48,3 +48,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def dsum(col_sql: str) -> str:
     """DuckDB-side decimal-exact sum rendered back to double."""
     return f"CAST(SUM(CAST({col_sql} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def md5_bucket(col, n: int):
+    """Engine-portable pseudo-random bucket in [0, n): first 8 hex digits
+    of md5 (stays far under 2^53, so the int is exact in every engine;
+    NEVER engine hash()/rand(), which differ across engines and runs)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % n
+    )
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`md5_bucket` — byte-identical values."""
+    return (
+        f"CAST(('0x' || SUBSTRING(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS UBIGINT)"
+        f" % {n}"
+    )

@@ -272,7 +272,7 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"user_id": "user_id", "event_id": "event_id",
               "running_value": "running_value"}),
             ("asof_join", "q77_asof_join",
-             {"user_id": "user_id", "event_id": "click_id",
+             {"user_id": "user_id", "click_id": "click_id",
               "view_id": "view_id", "gap_us": "gap_us"}),
             ("range_join", "q81_range_join_banded",
              {"user_id": "user_id", "event_id": "error_id",

@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkextract.queries.base import load, register
+from sparkextract.queries.base import load, md5_bucket, md5_bucket_sql, register
 from sparkextract.queries.dedup2 import _Q53_ORACLE, q53_banded_lsh_near_dup
 
 # --------------------------------------------------------------------------
@@ -810,10 +810,10 @@ def q77_asof_join(spark, sf_dir):
 # discipline (engine hash() functions differ; md5 is bit-identical
 # everywhere). Stratification is reported per (lang, split) so mixture
 # weights are auditable. Map-only projection + one grouped agg.
-_Q78_ORACLE = """
+_Q78_ORACLE = f"""
 WITH assigned AS (
   SELECT lang, n_chars,
-         CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+         {md5_bucket_sql('doc_id', 100)} AS bucket
   FROM documents
 )
 SELECT lang,
@@ -828,11 +828,7 @@ FROM assigned GROUP BY 1, 2
 @register("q78_stratified_split", oracle=_Q78_ORACLE)
 def q78_stratified_split(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket(F.col("doc_id"), 100)
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
@@ -888,11 +884,7 @@ def q79_salted_skew_join(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     k = F.when(F.col("user_id") % 3 == 0, F.lit(0)).otherwise(F.col("user_id"))
     # deterministic fact-side salt (md5 of the row id, engine-portable)
-    salt = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % _Q79_SALTS
-    )
+    salt = md5_bucket(F.col("event_id"), _Q79_SALTS)
     fact = ev.select(k.alias("k"), salt.alias("salt"), "value")
     dim = (
         ev.select(k.alias("k"))

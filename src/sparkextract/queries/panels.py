@@ -95,7 +95,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("diversity", "double"), ("mean_word_len", "double"),
          ("reject_reason", "string"), ("keep", "boolean"),
          ("lang", "string"), ("n_docs", "long"), ("total_words", "long"),
-         ("n_suppressed", "long"), ("min_keeper", "long")],
+         ("n_suppressed", "long"), ("min_keeper", "long"),
+         ("n_bigrams", "long"), ("n_distinct_bigrams", "long"),
+         ("dup_frac", "double"), ("top_word_frac", "double")],
         [
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
@@ -105,6 +107,11 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "n_distinct": "n_distinct", "diversity": "diversity",
               "mean_word_len": "mean_word_len",
               "reject_reason": "reject_reason", "keep": "keep"}),
+            ("repetition_rules", "q84_repetition_rules",
+             {"doc_id": "doc_id", "n_bigrams": "n_bigrams",
+              "n_distinct_bigrams": "n_distinct_bigrams",
+              "dup_frac": "dup_frac", "top_word_frac": "top_word_frac",
+              "keep": "keep", "reject_reason": "reject_reason"}),
             ("clean_pipeline", "q76_clean_pipeline",
              {"lang": "lang", "source": "source", "n_docs": "n_docs",
               "total_words": "total_words", "n_suppressed": "n_suppressed",
@@ -199,7 +206,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("event_type", "string"), ("n_events", "long"), ("sum_value", "double"),
          ("first_us", "long"), ("last_us", "long"),
          ("sum_k", "long"), ("n_high", "long"),
-         ("bucket_hour", "long"), ("n_users", "long")],
+         ("bucket_hour", "long"), ("n_users", "long"),
+         ("user_id", "long"), ("session_seq", "long"), ("duration_us", "long"),
+         ("v_registers", "long"), ("zeros", "long"),
+         ("est_distinct", "double"), ("exact_distinct", "long")],
         [
             ("type_stats", "q05_event_type_stats",
              {"event_type": "event_type", "n_events": "n_events",
@@ -210,6 +220,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"event_type": "event_type", "n_events": "n_events",
               "sum_value": "sum_value", "bucket_hour": "bucket_hour",
               "n_users": "n_users"}),
+            ("sessionize", "q82_sessionize",
+             {"user_id": "user_id", "session_seq": "session_seq",
+              "n_events": "n_events", "first_us": "first_us",
+              "last_us": "last_us", "duration_us": "duration_us"}),
+            ("hll_sketch", "q83_hll_distinct",
+             {"event_type": "event_type", "v_registers": "v_registers",
+              "zeros": "zeros", "est_distinct": "est_distinct",
+              "exact_distinct": "exact_distinct"}),
         ],
     ),
     # grouping-set lattices: ROLLUP over lineitem, CUBE over documents.

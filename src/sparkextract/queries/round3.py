@@ -1006,3 +1006,294 @@ def q81_range_join_banded(spark, sf_dir):
             (F.col("cus") - F.col("eus")).alias("dt_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q82: GAP-BASED SESSIONIZATION — the canonical event-stream operator:
+# per user, a new session starts when the gap to the previous event
+# exceeds 12 h; sessions are then aggregated to (n_events, span). The
+# classic two-window construction: lag() to get the gap, a running sum
+# of new-session flags to get the session ordinal — both windows and
+# the final groupBy cluster on user_id, so Spark plans ONE shuffle (the
+# (user_id, session_seq) aggregation reuses the window's hash
+# partitioning: HashPartitioning(user_id) satisfies the grouping's
+# ClusteredDistribution). Ordering inside the window is (us, event_id)
+# — event_id breaks timestamp ties so RANGE/ROWS frames coincide and
+# both engines see one total order. Batch twin of the streaming session
+# windows in streaming/; gap threshold is the knob a 100 TB run tunes.
+_Q82_GAP_US = 43_200_000_000  # 12 hours
+
+_Q82_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              > {_Q82_GAP_US}
+         OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sessed AS (
+  SELECT user_id, us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS first_us,
+       CAST(MAX(us) AS BIGINT) AS last_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM sessed GROUP BY user_id, session_seq
+"""
+
+
+@register("q82_sessionize", oracle=_Q82_ORACLE)
+def q82_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _Q82_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessed = flagged.withColumn("session_seq", F.sum("is_new").over(w))
+    return sessed.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q83: DETERMINISTIC HYPERLOGLOG — distinct-user estimate per event_type
+# as a real register sketch, built entirely from engine-portable md5
+# bits (never engine hash()/approx_count_distinct, whose internals
+# differ across engines and versions). 32-bit hash h = first 8 md5 hex
+# digits; m=64 registers: register = h % 64, remaining 26-bit stream
+# w = h div 64, rho = leading zeros in w + 1 = 27 - bitlength(w)
+# (27 when w = 0). Estimate = alpha_64 * m^2 / Z with
+# Z = sum(2^-M_j) + (#empty registers); every term is a dyadic rational
+# with denominator <= 2^27, so Z is EXACT in double in both engines and
+# the raw estimate is bit-identical. The linear-counting small-range
+# branch (raw <= 2.5m and empty registers exist) uses ln(), which can
+# differ in the last ulp, so it is ROUND(...,6)-ed. Scale shape: the
+# whole sketch is two mergeable partial aggs — groupBy (type, register)
+# max(rho), then groupBy type — register-grain data only ever shuffles;
+# this is exactly how a 100 TB HLL rollup is built and merged.
+_Q83_M = 64
+_Q83_ALPHA_M2 = 0.709 * _Q83_M * _Q83_M  # python-folded: identical double in both
+
+_Q83_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+    CAST(('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv
+  FROM events
+),
+bits AS (
+  SELECT event_type,
+    CAST(hv % {_Q83_M} AS BIGINT) AS reg,
+    CAST(hv // {_Q83_M} AS BIGINT) AS w
+  FROM h
+),
+regs AS (
+  SELECT event_type, reg,
+    MAX(CASE WHEN w > 0 THEN 27 - LENGTH(bin(w)) ELSE 27 END) AS m_reg
+  FROM bits GROUP BY event_type, reg
+),
+agg AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS v_registers,
+    CAST({_Q83_M} - COUNT(*) AS BIGINT) AS zeros,
+    SUM(1.0 / POWER(CAST(2.0 AS DOUBLE), m_reg)) AS z_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, v_registers, zeros,
+    CAST({_Q83_ALPHA_M2!r} AS DOUBLE)
+      / (z_present + CAST(zeros AS DOUBLE)) AS raw
+  FROM agg
+)
+SELECT e.event_type, e.v_registers, e.zeros,
+  ROUND(CASE WHEN e.raw <= {2.5 * _Q83_M} AND e.zeros > 0
+        THEN {_Q83_M} * ln(CAST({_Q83_M} AS DOUBLE) / e.zeros)
+        ELSE e.raw END, 6) AS est_distinct,
+  x.exact_distinct
+FROM est e
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type) x USING (event_type)
+"""
+
+
+@register("q83_hll_distinct", oracle=_Q83_ORACLE)
+def q83_hll_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bits = ev.select(
+        "event_type",
+        (h % _Q83_M).alias("reg"),
+        F.expr(
+            f"CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) div {_Q83_M}"
+        ).alias("w"),
+    )
+    regs = bits.groupBy("event_type", "reg").agg(
+        F.max(
+            F.when(F.col("w") > 0, F.lit(27) - F.length(F.bin("w"))).otherwise(
+                F.lit(27)
+            )
+        ).alias("m_reg")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").alias("v_registers"),
+        (F.lit(_Q83_M) - F.count("*")).alias("zeros"),
+        F.sum(F.lit(1.0) / F.pow(F.lit(2.0), F.col("m_reg"))).alias("z_present"),
+    )
+    raw = F.lit(_Q83_ALPHA_M2) / (F.col("z_present") + F.col("zeros").cast("double"))
+    est = agg.select(
+        "event_type",
+        "v_registers",
+        "zeros",
+        F.round(
+            F.when(
+                (raw <= 2.5 * _Q83_M) & (F.col("zeros") > 0),
+                F.lit(float(_Q83_M)) * F.log(F.lit(float(_Q83_M)) / F.col("zeros")),
+            ).otherwise(raw),
+            6,
+        ).alias("est_distinct"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+# --------------------------------------------------------------------------
+# q84: REPETITION-RATIO QUALITY RULES (Gopher-style) — per-document
+# duplicate-bigram fraction and most-common-word mass fraction, the two
+# repetition signals the Gopher/MassiveText filter family uses that
+# q75's length/diversity cascade does not cover. Bigram construction
+# guards size<2 explicitly (F.sequence(1,0) is DESCENDING in Spark —
+# the q68 advice bug class); both fractions are ROUND(...,6)-ed BEFORE
+# the threshold compare so the keep decision is identical in both
+# engines. Scale shape: two explode->groupBy(doc_id) aggregates joined
+# on doc_id — every shuffle is key-partitioned on doc_id and AQE
+# coalesces; nothing is quadratic in doc length but the bigram list
+# (linear).
+_Q84_DUP_MAX = 0.05   # duplicate-bigram fraction ceiling
+_Q84_TOP_MAX = 0.15   # most-common-word mass ceiling
+
+_Q84_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+    len(grams) AS n_bigrams,
+    len(list_distinct(grams)) AS n_distinct_bigrams
+  FROM (
+    SELECT doc_id,
+      list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]) AS grams
+    FROM toks
+  )
+),
+wc AS (
+  SELECT doc_id, t AS word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(a) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+tw AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_words
+  FROM wc GROUP BY doc_id
+),
+scored AS (
+  SELECT b.doc_id, b.n_bigrams, b.n_distinct_bigrams,
+    CASE WHEN b.n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE ROUND(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6)
+    END AS dup_frac,
+    ROUND(CAST(t.top_cnt AS DOUBLE) / t.n_words, 6) AS top_word_frac
+  FROM big b JOIN tw t USING (doc_id)
+)
+SELECT doc_id, n_bigrams, n_distinct_bigrams, dup_frac, top_word_frac,
+  (dup_frac <= {_Q84_DUP_MAX} AND top_word_frac <= {_Q84_TOP_MAX}) AS keep,
+  CASE WHEN dup_frac > {_Q84_DUP_MAX} THEN 'dup_bigrams'
+       WHEN top_word_frac > {_Q84_TOP_MAX} THEN 'top_word'
+       ELSE '' END AS reject_reason
+FROM scored
+"""
+
+
+@register("q84_repetition_rules", oracle=_Q84_ORACLE)
+def q84_repetition_rules(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("a"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("a") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("a", i), F.element_at("a", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    big = grams.select(
+        "doc_id",
+        F.size("grams").alias("n_bigrams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct_bigrams"),
+    )
+    wc = (
+        toks.select("doc_id", F.explode("a").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tw = wc.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_words")
+    )
+    dup_frac = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
+            6,
+        )
+    )
+    scored = big.join(tw, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        dup_frac.alias("dup_frac"),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+    )
+    keep = (F.col("dup_frac") <= _Q84_DUP_MAX) & (
+        F.col("top_word_frac") <= _Q84_TOP_MAX
+    )
+    reason = (
+        F.when(F.col("dup_frac") > _Q84_DUP_MAX, F.lit("dup_bigrams"))
+        .when(F.col("top_word_frac") > _Q84_TOP_MAX, F.lit("top_word"))
+        .otherwise(F.lit(""))
+    )
+    return scored.select(
+        "*", keep.alias("keep"), reason.alias("reject_reason")
+    )

@@ -935,34 +935,57 @@ _Q67_ORACLE = f"""
 
 @register("q67_winnowing_fingerprints", oracle=_Q67_ORACLE)
 def q67_winnowing_fingerprints(spark, sf_dir):
-    from pyspark.sql.window import Window as W
-
+    # ZERO-SHUFFLE form: the whole winnowing pipeline (k-gram hashes ->
+    # sliding-window minima -> distinct fingerprints -> per-doc stats)
+    # is doc-local, so it runs entirely inside whole-stage codegen as
+    # higher-order array functions — no explode of ~250 rows/doc, no
+    # window shuffle, no distinct shuffle. The earlier exploded form
+    # moved 250x the corpus row count through TWO doc_id shuffles; at
+    # 100 TB the fingerprints belong in the scan stage like this, with
+    # only doc-grain output ever leaving it.
     docs = load(spark, sf_dir, "documents")
     head = F.substring("text", 1, 256)
+    # docs too short for even one full window (head < k+w-1 chars) emit
+    # no fingerprints — filter them on this CHEAP text-length predicate
+    # up front (pushable to the scan). Filtering on size(fps) instead
+    # would be pushed below the projections with the whole fingerprint
+    # expression re-inlined per row — measured as a 50x slowdown.
+    docs = docs.filter(F.length(head) >= _Q67_K + _Q67_W - 1)
     n_sh = F.greatest(F.length(head) - (_Q67_K - 1), F.lit(1))
-    hashes = docs.select(
+    # materialize the hash sequence as a COLUMN before windowing: if the
+    # transform expression were inlined into the per-window slice below,
+    # Catalyst would re-evaluate all ~250 md5s for EVERY window — an
+    # O(n^2) blowup measured at 100x this query's wall time
+    hashed = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.conv(
-                    F.substring(F.md5(F.substring(head, i, F.lit(_Q67_K))), 1, 8), 16, 10
-                ).cast("long"),
-            )
-        ).alias("i0", "h"),
-        n_sh.alias("n_sh"),
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(head, i, F.lit(_Q67_K))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("hashes"),
     )
-    w = W.partitionBy("doc_id").orderBy("i0").rowsBetween(0, _Q67_W - 1)
-    wins = hashes.withColumn("fp", F.min("h").over(w)).filter(
-        F.col("i0") + 1 <= F.col("n_sh") - _Q67_W + 1
+    # windows fully inside the hash sequence; deriving n_wins from
+    # size(hashes) (rather than recomputing from head) gives the outer
+    # projection TWO references to `hashes`, which stops CollapseProject
+    # from re-inlining the expensive transform into the per-window slice
+    n_wins = F.size("hashes") - (_Q67_W - 1)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(F.col("hashes"), j, _Q67_W)),
+        )
     )
     return (
-        wins.select("doc_id", "fp")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_fingerprints"),
-            F.sum("fp").alias("fp_checksum"),
-            F.min("fp").alias("fp_min"),
+        hashed.select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.aggregate(
+                "fps", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("fp_checksum"),
+            F.array_min("fps").alias("fp_min"),
         )
     )

@@ -64,6 +64,8 @@ HEADLINE = [
     "q67_winnowing_fingerprints",
     "q68_simhash_near_dup",
     "q73_tfidf_topk",
+    "q82_sessionize",
+    "q84_repetition_rules",
 ]
 
 

@@ -169,8 +169,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     "panel_token_lang_stats": (
         [("lang", "string"), ("n_docs", "long"), ("n_unique", "long"),
          ("total_tokens", "long"), ("avg_tokens", "double"), ("max_tokens", "long"),
-         ("bpe_tokens", "long"), ("ws_tokens", "long"), ("fertility", "double")],
+         ("bpe_tokens", "long"), ("ws_tokens", "long"), ("fertility", "double"),
+         ("token", "string"), ("true_cnt", "long"), ("est_cnt", "long"),
+         ("overcount", "long")],
         [
+            ("cms_sketch", "q85_cms_heavy_hitters",
+             {"token": "token", "true_cnt": "true_cnt",
+              "est_cnt": "est_cnt", "overcount": "overcount"}),
             ("fingerprint", "q21_fingerprint",
              {"lang": "lang", "n_docs": "n_docs", "n_unique": "n_unique"}),
             ("whitespace", "q22_token_stats",
@@ -187,8 +192,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("lang", "string"), ("n_docs", "long"), ("min_chars", "long"),
          ("p50", "double"), ("p90", "double"), ("p99", "double"),
          ("max_chars", "long"), ("avg_conf", "double"), ("min_conf", "double"),
-         ("split", "string"), ("total_chars", "long")],
+         ("split", "string"), ("total_chars", "long"),
+         ("doc_id", "long"), ("n_chars", "long"), ("samp_key", "double"),
+         ("rk", "long")],
         [
+            ("weighted_sample", "q86_weighted_sample",
+             {"lang": "lang", "doc_id": "doc_id", "n_chars": "n_chars",
+              "samp_key": "samp_key", "rk": "rk"}),
             ("length_dist", "q60_length_distribution",
              {"lang": "lang", "n_docs": "n_docs", "min_chars": "min_chars",
               "p50": "p50", "p90": "p90", "p99": "p99", "max_chars": "max_chars"}),

@@ -1297,3 +1297,141 @@ def q84_repetition_rules(spark, sf_dir):
     return scored.select(
         "*", keep.alias("keep"), reason.alias("reject_reason")
     )
+
+
+# --------------------------------------------------------------------------
+# q85: COUNT-MIN SKETCH heavy hitters — the second deterministic sketch
+# family (q83 = HLL for distinct counts; CMS = frequency estimates).
+# D=4 hash rows x W=16 columns, every hash an engine-portable
+# md5-bucket of 'row:token' (never engine hash()); counter(r, c) sums
+# the token counts landing in (r, c), and a token's estimate is the MIN
+# over its D probes — always >= the true count, with the overcount
+# showing real collisions (the 31-token vocabulary over 16 columns
+# collides by construction, so the sketch property is exercised, not
+# vacuously zero). Scale shape: counters are ONE mergeable
+# groupBy(r, c) agg over D*W cells — at 100 TB the sketch is built
+# map-side and merged, never the vocabulary itself; the probe join
+# broadcasts the D*W-row counter table.
+_Q85_D = 4
+_Q85_W = 16
+_Q85_TOPK = 10
+
+_Q85_ORACLE = f"""
+WITH tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token != '' GROUP BY token
+),
+cells AS (
+  SELECT r, {md5_bucket_sql("r || ':' || token", _Q85_W)} AS c,
+         SUM(cnt) AS counter
+  FROM tf, (SELECT UNNEST(range({_Q85_D})) AS r)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, cnt FROM tf ORDER BY cnt DESC, token LIMIT {_Q85_TOPK}
+),
+probes AS (
+  SELECT t.token, t.cnt, cl.counter
+  FROM top t, (SELECT UNNEST(range({_Q85_D})) AS r) rs
+  JOIN cells cl
+    ON cl.r = rs.r AND cl.c = {md5_bucket_sql("rs.r || ':' || t.token", _Q85_W)}
+)
+SELECT token, cnt AS true_cnt,
+       CAST(MIN(counter) AS BIGINT) AS est_cnt,
+       CAST(MIN(counter) - cnt AS BIGINT) AS overcount
+FROM probes GROUP BY token, cnt
+"""
+
+
+@register("q85_cms_heavy_hitters", oracle=_Q85_ORACLE)
+def q85_cms_heavy_hitters(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probe_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    md5_bucket(
+                        F.concat(F.lit(f"{r}:"), F.col("token")), _Q85_W
+                    ).alias("c"),
+                )
+                for r in range(_Q85_D)
+            ]
+        )
+    )
+    keyed = tf.select("token", "cnt", probe_cols.alias("p")).select(
+        "token", "cnt", "p.r", "p.c"
+    )
+    cells = keyed.groupBy("r", "c").agg(F.sum("cnt").alias("counter"))
+    top = tf.orderBy(F.desc("cnt"), F.asc("token")).limit(_Q85_TOPK)
+    top_probes = top.select("token", "cnt", probe_cols.alias("p")).select(
+        "token", "cnt", "p.r", "p.c"
+    )
+    return (
+        top_probes.join(broadcast(cells), ["r", "c"])
+        .groupBy("token", "cnt")
+        .agg(F.min("counter").alias("est_cnt"))
+        .select(
+            "token",
+            F.col("cnt").alias("true_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.col("cnt")).alias("overcount"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q86: DETERMINISTIC WEIGHTED RESERVOIR SAMPLE (Efraimidis-Spirakis
+# A-ExpJ form) — per-language sample of k=5 docs with inclusion
+# probability proportional to n_chars: u = md5-uniform in (0, 1],
+# key = -ln(u) / weight, keep the k SMALLEST keys. md5-derived u makes
+# the sample reproducible across runs, engines, and partitionings
+# (never rand()); the key is scaled x1e6 and ROUND(...,6)-ed BEFORE
+# ordering (ln differs in the last ulp across engines) with doc_id as
+# the total-order tie-break. Scale shape: one shuffle on lang for the
+# top-k window — at 100 TB the same key supports per-partition
+# partial top-k then merge, because min-k of a union is min-k of
+# per-part min-ks.
+_Q86_K = 5
+
+_Q86_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+    ROUND(
+      -ln((({md5_bucket_sql("doc_id", 1 << 32)}) + 1.0) / 4294967296.0)
+      * 1000000.0 / n_chars, 6) AS samp_key
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, samp_key, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY samp_key, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= {_Q86_K}
+"""
+
+
+@register("q86_weighted_sample", oracle=_Q86_ORACLE)
+def q86_weighted_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    u = (md5_bucket(F.col("doc_id"), 1 << 32) + 1.0) / 4294967296.0
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) * 1000000.0 / F.col("n_chars"), 6).alias("samp_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("samp_key", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q86_K)
+    )

@@ -447,6 +447,7 @@ _FRONT = [
     "panel_event_stats",
     "panel_join_revenue",
     "panel_doc_profile",
+    "panel_token_lang_stats",
     "q54_chunk_overlap",
     "q56_ocr_clean_chain",
     "q66_span_confidence",

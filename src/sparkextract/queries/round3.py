@@ -1097,7 +1097,7 @@ _Q83_ALPHA_M2 = 0.709 * _Q83_M * _Q83_M  # python-folded: identical double in bo
 _Q83_ORACLE = f"""
 WITH h AS (
   SELECT event_type,
-    CAST(('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv
+    {md5_bucket_sql("user_id", 1 << 32)} AS hv
   FROM events
 ),
 bits AS (
@@ -1138,16 +1138,16 @@ JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distin
 @register("q83_hll_distinct", oracle=_Q83_ORACLE)
 def q83_hll_distinct(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    bits = ev.select(
+    # one shared-helper hash (md5_bucket with a no-op 2^32 modulus, the
+    # oracle uses the md5_bucket_sql twin), materialized as a column so
+    # reg and w derive from a single expression style
+    hashed = ev.select(
+        "event_type", md5_bucket(F.col("user_id"), 1 << 32).alias("hv")
+    )
+    bits = hashed.select(
         "event_type",
-        (h % _Q83_M).alias("reg"),
-        F.expr(
-            f"CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
-            f" AS BIGINT) div {_Q83_M}"
-        ).alias("w"),
+        (F.col("hv") % _Q83_M).alias("reg"),
+        F.expr(f"hv div {_Q83_M}").alias("w"),
     )
     regs = bits.groupBy("event_type", "reg").agg(
         F.max(

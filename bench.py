@@ -38,6 +38,13 @@ BENCH_REPEATS = int(os.environ.get("SPARKEXTRACT_BENCH_REPEATS", "3"))
 # recorded 0.708 efficiency from 3 monotonically-climbing local[4]
 # samples; the same code measured 0.858-0.922 in calm windows)
 BENCH_MAX_REPEATS = int(os.environ.get("SPARKEXTRACT_BENCH_MAX_REPEATS", "7"))
+# hard cap for the climb-only extension: past BENCH_MAX_REPEATS, pairs
+# keep being added ONLY while a level's latest sample is still its
+# strict >2% maximum (a monotone climb means the steady-state peak has
+# not been observed yet — a mid-round run measured 0.726 efficiency
+# with BOTH levels still climbing at the 7-pair cap, versus 0.81-0.88
+# for the same code in settled windows)
+BENCH_HARD_MAX_REPEATS = int(os.environ.get("SPARKEXTRACT_BENCH_HARD_MAX_REPEATS", "10"))
 # spread (max/min docs_per_sec) above which a level is considered noisy
 _SPREAD_BAND = 1.15
 CORPUS_DIR = os.environ.get(
@@ -216,14 +223,24 @@ def run_scaling() -> dict:
             return True
         return max(vals) / max(min(vals), 1e-9) > _SPREAD_BAND
 
+    def _level_climbing(cores: int) -> bool:
+        vals = [r["docs_per_sec"] for r in all_runs[cores] if "docs_per_sec" in r]
+        return len(vals) < 2 or vals[-1] > max(vals[:-1]) * 1.02
+
     pairs = 0
-    while pairs < BENCH_MAX_REPEATS:
+    while pairs < BENCH_HARD_MAX_REPEATS:
         for cores in (lo_cores, hi_cores):
             all_runs[cores].append(_run_child(cores))
         pairs += 1
         if pairs >= BENCH_REPEATS and not (
             _level_unstable(lo_cores) or _level_unstable(hi_cores)
         ):
+            break
+        if pairs >= BENCH_MAX_REPEATS and not (
+            _level_climbing(lo_cores) or _level_climbing(hi_cores)
+        ):
+            # noisy but no longer climbing: more pairs would re-sample
+            # the same settled band, not find a hidden peak
             break
     for cores in (lo_cores, hi_cores):
         runs = all_runs[cores]

@@ -495,7 +495,14 @@ def q68_simhash_near_dup(spark, sf_dir):
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.lit("xxxxxxxxxx"), F.expr("substring(text, 11)")).alias("text"),
     )
-    sigs = _simhash48_col(docs.unionByName(near))
+    # materialize the doc-grain signature table ONCE: the bucket
+    # self-join otherwise recomputes the whole signature pipeline
+    # (bigram explode + 48-vote aggregate over ~250x the corpus row
+    # count) on BOTH sides — ReuseExchange does not fire across the
+    # two subtrees under AQE here (verified in the executed plan). At
+    # real scale this is the same move: signatures are written/persisted
+    # once, then banded and self-joined. Output is one row per doc.
+    sigs = _simhash48_col(docs.unionByName(near)).localCheckpoint()
     mask = (1 << _SH_BAND_BITS) - 1
     buckets = sigs.select(
         "doc_id",

@@ -97,7 +97,8 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("lang", "string"), ("n_docs", "long"), ("total_words", "long"),
          ("n_suppressed", "long"), ("min_keeper", "long"),
          ("n_bigrams", "long"), ("n_distinct_bigrams", "long"),
-         ("dup_frac", "double"), ("top_word_frac", "double")],
+         ("dup_frac", "double"), ("top_word_frac", "double"),
+         ("avg_logp", "double")],
         [
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
@@ -112,6 +113,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "n_distinct_bigrams": "n_distinct_bigrams",
               "dup_frac": "dup_frac", "top_word_frac": "top_word_frac",
               "keep": "keep", "reject_reason": "reject_reason"}),
+            ("lm_score", "q87_lm_quality_score",
+             {"doc_id": "doc_id", "n_bigrams": "n_bigrams",
+              "avg_logp": "avg_logp", "keep": "keep"}),
             ("clean_pipeline", "q76_clean_pipeline",
              {"lang": "lang", "source": "source", "n_docs": "n_docs",
               "total_words": "total_words", "n_suppressed": "n_suppressed",

@@ -1435,3 +1435,101 @@ def q86_weighted_sample(spark, sf_dir):
         keyed.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _Q86_K)
     )
+
+
+# --------------------------------------------------------------------------
+# q87: BIGRAM-LM QUALITY SCORE (CCNet-style perplexity filtering) — the
+# classic LLM-corpus quality gate: train an add-one-smoothed bigram
+# language model ON the corpus itself, score every document by its mean
+# log-probability avg ln((c(w1 w2)+1) / (c(w1 .)+V)), and keep docs
+# above a threshold (low perplexity = in-distribution text). The score
+# is ROUND(...,6)-ed before the threshold compare (ln last-ulp + sum
+# order; accumulated error ~1e-13 against a 5e-7 rounding quantum).
+# Scale shape: LM counts are two mergeable token-grain aggregates
+# (bigram, context), the scoring join is vocab-keyed exactly like q73
+# (no broadcast assumption — a web-corpus bigram table is large), and
+# the per-doc rollup shuffles on doc_id. Nothing is quadratic; the
+# model "training" and the scoring pass are the same two scans a
+# 100 TB CCNet run makes.
+_Q87_MIN_LOGP = -3.45
+
+_Q87_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+  FROM documents
+),
+inst AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
+  FROM toks
+),
+c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM inst GROUP BY 1),
+c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS cnt1
+  FROM inst GROUP BY 1
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+  FROM (SELECT unnest(a) AS t FROM toks)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln(CAST(c2.cnt2 + 1 AS DOUBLE) / (c1.cnt1 + v.vocab))), 6)
+         AS avg_logp,
+       (ROUND(AVG(ln(CAST(c2.cnt2 + 1 AS DOUBLE) / (c1.cnt1 + v.vocab))), 6)
+         >= {_Q87_MIN_LOGP}) AS keep
+FROM inst i
+JOIN c2 USING (bigram)
+JOIN c1 ON c1.w1 = split_part(i.bigram, ' ', 1)
+CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+@register("q87_lm_quality_score", oracle=_Q87_ORACLE)
+def q87_lm_quality_score(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("a"),
+    )
+    inst = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("a", i), F.element_at("a", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    c2 = inst.groupBy("bigram").agg(F.count("*").alias("cnt2"))
+    c1 = (
+        inst.select(F.substring_index("bigram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cnt1"))
+    )
+    vocab = toks.select(F.explode("a").alias("t")).agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    logp = F.log(
+        (F.col("cnt2") + 1).cast("double") / (F.col("cnt1") + F.col("vocab"))
+    )
+    avg_logp = F.round(F.avg(logp), 6)
+    return (
+        inst.join(c2, "bigram")
+        .join(c1, F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            avg_logp.alias("avg_logp"),
+            (avg_logp >= _Q87_MIN_LOGP).alias("keep"),
+        )
+    )

@@ -325,8 +325,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # token index: corpus top-k tokens; per-doc token positions.
     "panel_token_index": (
         [("token", "string"), ("freq", "long"),
-         ("doc_id", "long"), ("pos", "long")],
+         ("doc_id", "long"), ("pos", "long"),
+         ("tok_b", "string"), ("pmi", "double")],
         [
+            ("pmi_pairs", "q88_pmi_cooccurrence",
+             {"token": "tok_a", "tok_b": "tok_b", "freq": "df_ab",
+              "pmi": "pmi"}),
             ("topk", "q23_token_topk", {"token": "token", "freq": "freq"}),
             ("positions", "q37_token_positions",
              {"token": "tok", "doc_id": "doc_id", "pos": "pos"}),
@@ -452,6 +456,7 @@ _FRONT = [
     "panel_join_revenue",
     "panel_doc_profile",
     "panel_token_lang_stats",
+    "panel_token_index",
     "q54_chunk_overlap",
     "q56_ocr_clean_chain",
     "q66_span_confidence",

@@ -1533,3 +1533,101 @@ def q87_lm_quality_score(spark, sf_dir):
             (avg_logp >= _Q87_MIN_LOGP).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q88: PMI TOKEN CO-OCCURRENCE — pointwise mutual information over
+# presence-based document co-occurrence, the association-mining op a
+# corpus-analysis pipeline runs to find collocations:
+# pmi(a,b) = ln(df_ab * N / (df_a * df_b)), support-filtered. Pair
+# generation is DOC-LOCAL: the sorted distinct token set is
+# materialized as a column (multi-referenced, so CollapseProject keeps
+# it — the q67 lesson; inlining would re-evaluate the sort per outer
+# element), and per-doc pairs come from a nested transform/slice with
+# strict ordering, so each unordered pair is emitted once — no doc_id
+# self-join shuffle. All integer products stay < 2^53 (exact in
+# double); pmi is ROUND(...,6)-ed for the ln ulp. Scale shape: pair
+# cardinality is bounded by (distinct tokens per doc)^2 per row —
+# the standard co-occurrence explode — and every agg/join after it is
+# token- or pair-keyed and mergeable.
+_Q88_MINSUP = 5
+
+_Q88_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t != ''
+),
+dfa AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+pairs AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS df_ab
+  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY x.tok, y.tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT p.tok_a, p.tok_b, p.df_ab,
+  ROUND(ln(CAST(p.df_ab AS DOUBLE) * n.n_docs / (a.df * b.df)), 6) AS pmi
+FROM pairs p
+JOIN dfa a ON a.tok = p.tok_a
+JOIN dfa b ON b.tok = p.tok_b
+CROSS JOIN n
+WHERE p.df_ab >= {_Q88_MINSUP}
+"""
+
+
+@register("q88_pmi_cooccurrence", oracle=_Q88_ORACLE)
+def q88_pmi_cooccurrence(spark, sf_dir):
+    from pyspark.sql.functions import broadcast
+
+    docs = load(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            )
+        ).alias("s"),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("s"),
+            lambda x, i: F.transform(
+                F.slice(F.col("s"), i + 2, F.size("s")),
+                lambda y: F.concat_ws(" ", x, y),
+            ),
+        )
+    )
+    dt = sets.select("doc_id", F.explode("s").alias("tok"))
+    dfa = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") >= _Q88_MINSUP)
+        .select(
+            F.substring_index("pair", " ", 1).alias("tok_a"),
+            F.substring_index("pair", " ", -1).alias("tok_b"),
+            "df_ab",
+        )
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dfa_a = dfa.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    dfa_b = dfa.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(broadcast(dfa_a), "tok_a")
+        .join(broadcast(dfa_b), "tok_b")
+        .crossJoin(broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_ab",
+            F.round(
+                F.log(
+                    F.col("df_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

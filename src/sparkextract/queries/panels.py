@@ -198,11 +198,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("max_chars", "long"), ("avg_conf", "double"), ("min_conf", "double"),
          ("split", "string"), ("total_chars", "long"),
          ("doc_id", "long"), ("n_chars", "long"), ("samp_key", "double"),
-         ("rk", "long")],
+         ("rk", "long"),
+         ("est_p50", "long"), ("est_p90", "long"), ("est_p99", "long")],
         [
             ("weighted_sample", "q86_weighted_sample",
              {"lang": "lang", "doc_id": "doc_id", "n_chars": "n_chars",
               "samp_key": "samp_key", "rk": "rk"}),
+            ("hist_quantiles", "q89_histogram_quantiles",
+             {"lang": "lang", "n_docs": "n_docs", "est_p50": "est_p50",
+              "est_p90": "est_p90", "est_p99": "est_p99"}),
             ("length_dist", "q60_length_distribution",
              {"lang": "lang", "n_docs": "n_docs", "min_chars": "min_chars",
               "p50": "p50", "p90": "p90", "p99": "p99", "max_chars": "max_chars"}),

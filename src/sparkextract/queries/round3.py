@@ -1631,3 +1631,71 @@ def q88_pmi_cooccurrence(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q89: EQUI-WIDTH HISTOGRAM QUANTILE SKETCH — the third sketch family
+# member (q83 HLL = distinct counts, q85 CMS = frequencies, q89 =
+# quantiles): per-language approximate p50/p90/p99 of n_chars from a
+# W=16-wide bin histogram, answering the quantile question a 100 TB
+# run cannot sort for. The estimate is the upper edge of the first bin
+# whose cumulative count reaches ceil(q * total) — every step is
+# INTEGER math (bin = n_chars div W), so the sketch is bit-exact
+# across engines with no rounding discipline needed; ceil(q*total)
+# computes the same double product from the same operands in both.
+# Scale shape: ONE mergeable groupBy(lang, bin) agg (the histogram),
+# then windows/aggregates over bin-grain data only (~35 bins here) —
+# histograms merge by adding counts, the map-side-combine sketch
+# property. Accuracy is +-W by construction.
+_Q89_W = 16
+
+_Q89_ORACLE = f"""
+WITH hist AS (
+  SELECT lang, n_chars // {_Q89_W} AS bin, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, bin, cnt,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+    SUM(cnt) OVER (PARTITION BY lang) AS total
+  FROM hist
+)
+SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
+  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * total) AS BIGINT)
+       THEN (bin + 1) * {_Q89_W} - 1 END) AS BIGINT) AS est_p50,
+  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.9 * total) AS BIGINT)
+       THEN (bin + 1) * {_Q89_W} - 1 END) AS BIGINT) AS est_p90,
+  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.99 * total) AS BIGINT)
+       THEN (bin + 1) * {_Q89_W} - 1 END) AS BIGINT) AS est_p99
+FROM cum GROUP BY lang
+"""
+
+
+@register("q89_histogram_quantiles", oracle=_Q89_ORACLE)
+def q89_histogram_quantiles(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.select("lang", F.expr(f"n_chars div {_Q89_W}").alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("bin")
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+
+    def est(q):
+        k = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        edge = (F.col("bin") + 1) * _Q89_W - 1
+        return F.min(F.when(F.col("cum") >= k, edge))
+
+    return cum.groupBy("lang").agg(
+        F.max("total").alias("n_docs"),
+        est(0.5).alias("est_p50"),
+        est(0.9).alias("est_p90"),
+        est(0.99).alias("est_p99"),
+    )

@@ -199,8 +199,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("split", "string"), ("total_chars", "long"),
          ("doc_id", "long"), ("n_chars", "long"), ("samp_key", "double"),
          ("rk", "long"),
-         ("est_p50", "long"), ("est_p90", "long"), ("est_p99", "long")],
+         ("est_p50", "long"), ("est_p90", "long"), ("est_p99", "long"),
+         ("mix_weight", "double"), ("epochs_per_doc", "double")],
         [
+            ("mixture_weights", "q90_mixture_weights",
+             {"lang": "lang", "n_docs": "n_docs", "total_chars": "total_chars",
+              "mix_weight": "mix_weight", "epochs_per_doc": "epochs_per_doc"}),
             ("weighted_sample", "q86_weighted_sample",
              {"lang": "lang", "doc_id": "doc_id", "n_chars": "n_chars",
               "samp_key": "samp_key", "rk": "rk"}),

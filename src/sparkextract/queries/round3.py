@@ -1699,3 +1699,55 @@ def q89_histogram_quantiles(spark, sf_dir):
         est(0.9).alias("est_p90"),
         est(0.99).alias("est_p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# q90: TEMPERATURE-SCALED MIXTURE WEIGHTS — the data-mixing step of a
+# multilingual training pipeline (mT5 / XLM-R style): per-language
+# sampling weight w_l proportional to n_l^alpha with alpha = 0.5, which
+# up-weights low-resource languages relative to their raw share, plus
+# the resulting expected epochs-per-document for a fixed sampling
+# budget (how many times each 'fr' doc is seen vs each 'en' doc).
+# Numeric discipline: alpha = 0.5 exactly so the power IS SQRT — IEEE
+# requires sqrt correctly rounded, so Spark and DuckDB agree bit-exact
+# (POW carries no such guarantee); the sqrt is ROUND(...,4)-ed into
+# DECIMAL(18,4) so the normalizing sum is exact decimal addition in
+# any order, and the final double divisions round once at 6 dp.
+# Scale shape: ONE mergeable groupBy(lang) count/sum over the corpus,
+# then a global window over the post-agg lang-grain micro-set (5 rows
+# here, bounded by distinct languages) — the q33 share-of-total shape,
+# benign by construction.
+_Q90_BUDGET = 1_000_000
+
+_Q90_ORACLE = f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+         CAST(ROUND(SQRT(COUNT(*)), 4) AS DECIMAL(18,4)) AS p
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, total_chars,
+  ROUND(CAST(p AS DOUBLE) / CAST(SUM(p) OVER () AS DOUBLE), 6) AS mix_weight,
+  ROUND(((CAST(p AS DOUBLE) / CAST(SUM(p) OVER () AS DOUBLE))
+         * {_Q90_BUDGET}) / n_docs, 6) AS epochs_per_doc
+FROM s
+"""
+
+
+@register("q90_mixture_weights", oracle=_Q90_ORACLE)
+def q90_mixture_weights(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sqrt(F.count("*")), 4).cast("decimal(18,4)").alias("p"),
+    )
+    p_dbl = F.col("p").cast("double")
+    tot_dbl = F.sum("p").over(Window.partitionBy()).cast("double")
+    w = p_dbl / tot_dbl
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(w, 6).alias("mix_weight"),
+        F.round((w * _Q90_BUDGET) / F.col("n_docs"), 6).alias("epochs_per_doc"),
+    )

@@ -488,6 +488,15 @@ def _simhash48_col(df):
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+# signature-table memo, (applicationId, sf_dir)-keyed like q71's
+# _COMPONENTS_MEMO: repeated q68/panel constructions in one session must
+# not run the build-time checkpoint job again nor accumulate checkpoint
+# blocks (data is immutable per (session, dir) — see round3.py's memo
+# note). FIFO-bounded; eviction unpersists the blocks.
+_Q68_SIGS_MEMO: dict[tuple[str, str], object] = {}
+_Q68_SIGS_MEMO_CAP = 4
+
+
 @register("q68_simhash_near_dup", oracle=_Q68_ORACLE)
 def q68_simhash_near_dup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -499,10 +508,24 @@ def q68_simhash_near_dup(spark, sf_dir):
     # self-join otherwise recomputes the whole signature pipeline
     # (bigram explode + 48-vote aggregate over ~250x the corpus row
     # count) on BOTH sides — ReuseExchange does not fire across the
-    # two subtrees under AQE here (verified in the executed plan). At
-    # real scale this is the same move: signatures are written/persisted
-    # once, then banded and self-joined. Output is one row per doc.
-    sigs = _simhash48_col(docs.unionByName(near)).localCheckpoint()
+    # two subtrees under AQE here, and a LAZY checkpoint (eager=False)
+    # does not materialize before the join either: both subtrees still
+    # recompute the lineage inside the one job (measured 16x slower).
+    # At real scale this is the same move: signatures are written/
+    # persisted once, then banded and self-joined. The eager build-time
+    # job is the documented cost (dump_plans notes it); the memo keeps
+    # it to once per (session, input).
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    sigs = _Q68_SIGS_MEMO.get(memo_key)
+    if sigs is None:
+        sigs = _simhash48_col(docs.unionByName(near)).localCheckpoint()
+        while len(_Q68_SIGS_MEMO) >= _Q68_SIGS_MEMO_CAP:
+            evicted = _Q68_SIGS_MEMO.pop(next(iter(_Q68_SIGS_MEMO)))
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # session already stopped; JVM refs are gone anyway
+        _Q68_SIGS_MEMO[memo_key] = sigs
     mask = (1 << _SH_BAND_BITS) - 1
     buckets = sigs.select(
         "doc_id",

@@ -73,10 +73,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         ],
     ),
     # D6/J1 continuation: pair output -> transitive clusters -> survivor
-    # application (the full dedup endgame).
+    # application (the full dedup endgame), plus the keyed cluster
+    # variants (exact content-hash groups, minhash band groups) whose
+    # group key is a string signature rather than a component id.
     "panel_dup_clusters": (
         [("vec_id", "long"), ("component", "long"), ("cluster_size", "long"),
-         ("survivor_id", "long"), ("is_survivor", "boolean")],
+         ("survivor_id", "long"), ("is_survivor", "boolean"),
+         ("group_key", "string")],
         [
             ("components", "q71_dup_components",
              {"vec_id": "vec_id", "component": "component",
@@ -84,6 +87,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("survivors", "q72_dup_survivors",
              {"vec_id": "vec_id", "survivor_id": "survivor_id",
               "is_survivor": "is_survivor"}),
+            ("exact_hash_clusters", "q11_dedup_exact",
+             {"group_key": "content_hash", "cluster_size": "cluster_size",
+              "survivor_id": "keeper_doc_id"}),
+            ("minhash_clusters", "q38_minhash_clusters",
+             {"group_key": "sig0", "cluster_size": "cluster_size",
+              "survivor_id": "keeper_doc_id"}),
         ],
     ),
     # quality family: weighted score (source-grain), hard per-doc rule
@@ -225,7 +234,8 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # event_type-grain aggregates: stats + JSON-props extraction +
     # hourly hypertable-style rollup.
     "panel_event_stats": (
-        [("event_type", "string"), ("n_events", "long"), ("sum_value", "double"),
+        [("n_sessions", "long"),
+         ("event_type", "string"), ("n_events", "long"), ("sum_value", "double"),
          ("first_us", "long"), ("last_us", "long"),
          ("sum_k", "long"), ("n_high", "long"),
          ("bucket_hour", "long"), ("n_users", "long"),
@@ -250,6 +260,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"event_type": "event_type", "v_registers": "v_registers",
               "zeros": "zeros", "est_distinct": "est_distinct",
               "exact_distinct": "exact_distinct"}),
+            ("session_counts", "q10_sessionize",
+             {"user_id": "user_id", "n_events": "n_events",
+              "n_sessions": "n_sessions"}),
         ],
     ),
     # grouping-set lattices: ROLLUP over lineitem, CUBE over documents.
@@ -394,6 +407,149 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"user_id": "user_id", "event_type": "event_type"}),
         ],
     ),
+    # round-3 reference-parity singles: form-field keyword grouping (F6),
+    # cross-method positional comparison (J4), TF-IDF keyword extraction,
+    # and the LLM-answer confidence heuristic (F8).
+    "panel_round3": (
+        [("field_group", "string"), ("n_fields", "long"), ("n_names", "long"),
+         ("doc_id", "long"), ("similarity", "double"), ("agree", "boolean"),
+         ("token", "string"), ("tf", "long"), ("tfidf", "double"),
+         ("n_uncertain", "int"), ("n_hedge", "int"), ("n_certain", "int"),
+         ("n_cite", "int"), ("answer_len", "long"), ("confidence", "double")],
+        [
+            ("field_groups", "q69_field_groups",
+             {"field_group": "field_group", "n_fields": "n_fields",
+              "n_names": "n_names"}),
+            ("text_similarity", "q70_text_similarity",
+             {"doc_id": "doc_id", "similarity": "similarity",
+              "agree": "agree"}),
+            ("tfidf_topk", "q73_tfidf_topk",
+             {"doc_id": "doc_id", "token": "token", "tf": "tf",
+              "tfidf": "tfidf"}),
+            ("answer_confidence", "q74_answer_confidence",
+             {"doc_id": "doc_id", "n_uncertain": "n_uncertain",
+              "n_hedge": "n_hedge", "n_certain": "n_certain",
+              "n_cite": "n_cite", "answer_len": "answer_len",
+              "confidence": "confidence"}),
+        ],
+    ),
+    # span-grain derived ops: sliding chunk windows, the full OCR-clean
+    # chain, per-span confidence, winnowing fingerprints. doc_id is
+    # stringified (two parts key by string doc ids, two by long).
+    "panel_span_ops": (
+        [("doc_id", "string"), ("offset", "int"), ("chunk_len", "int"),
+         ("chunk_md5", "string"), ("clean_md5", "string"),
+         ("n_words", "int"), ("conf", "double"), ("kind", "string"),
+         ("confidence", "double"), ("n_fingerprints", "long"),
+         ("fp_checksum", "long"), ("fp_min", "long")],
+        [
+            ("chunk_overlap", "q54_chunk_overlap",
+             {"doc_id": "doc_id", "offset": "offset",
+              "chunk_len": "chunk_len", "chunk_md5": "chunk_md5"}),
+            ("ocr_clean", "q56_ocr_clean_chain",
+             {"doc_id": "doc_id", "clean_md5": "clean_md5",
+              "n_words": "n_words", "conf": "conf"}),
+            ("span_confidence", "q66_span_confidence",
+             {"doc_id": "doc_id", "kind": "kind", "offset": "offset",
+              "confidence": "confidence"}),
+            ("winnowing", "q67_winnowing_fingerprints",
+             {"doc_id": "doc_id", "n_fingerprints": "n_fingerprints",
+              "fp_checksum": "fp_checksum", "fp_min": "fp_min"}),
+        ],
+    ),
+    # the extraction core through mapInPandas: span passthrough, kind
+    # stats, mega-doc salt/split/reassemble, and doc-grain assembly.
+    "panel_extract_core": (
+        [("doc_id", "string"), ("kind", "string"), ("text", "string"),
+         ("media_ref", "string"), ("offset", "int"), ("n_spans", "long"),
+         ("total_chars", "long"), ("n_media", "int"),
+         ("first_kind", "string")],
+        [
+            ("passthrough", "q40_extract_passthrough",
+             {"doc_id": "doc_id", "kind": "kind", "text": "text",
+              "media_ref": "media_ref", "offset": "offset"}),
+            ("kind_stats", "q41_extract_kind_stats",
+             {"kind": "kind", "n_spans": "n_spans",
+              "total_chars": "total_chars"}),
+            ("mega_skew", "q42_extract_mega_skew",
+             {"doc_id": "doc_id", "kind": "kind", "text": "text",
+              "media_ref": "media_ref", "offset": "offset"}),
+            ("assembled", "q43_extract_assembled",
+             {"doc_id": "doc_id", "n_spans": "n_spans",
+              "n_media": "n_media", "total_chars": "total_chars",
+              "first_kind": "first_kind"}),
+        ],
+    ),
+    # relational headliners: TPC-H-style pricing summary, top revenue,
+    # doc stats, top docs, priority share-of-total.
+    "panel_relational": (
+        [("l_returnflag", "string"), ("l_linestatus", "string"),
+         ("sum_qty", "double"), ("sum_base_price", "double"),
+         ("sum_disc_price", "double"), ("count_order", "long"),
+         ("avg_qty", "double"), ("o_orderkey", "long"),
+         ("o_orderpriority", "string"), ("revenue", "double"),
+         ("lang", "string"), ("source", "string"), ("n_docs", "long"),
+         ("total_chars", "long"), ("avg_chars", "double"),
+         ("doc_id", "long"), ("n_chars", "long"), ("n_orders", "long"),
+         ("share", "double")],
+        [
+            ("pricing", "q01_pricing_summary",
+             {"l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+              "sum_qty": "sum_qty", "sum_base_price": "sum_base_price",
+              "sum_disc_price": "sum_disc_price",
+              "count_order": "count_order", "avg_qty": "avg_qty"}),
+            ("top_revenue", "q02_top_revenue_orders",
+             {"o_orderkey": "o_orderkey",
+              "o_orderpriority": "o_orderpriority", "revenue": "revenue"}),
+            ("doc_stats", "q04_doc_stats",
+             {"lang": "lang", "source": "source", "n_docs": "n_docs",
+              "total_chars": "total_chars", "avg_chars": "avg_chars"}),
+            ("top_docs", "q17_top_docs_by_chars",
+             {"doc_id": "doc_id", "n_chars": "n_chars"}),
+            ("priority_share", "q33_priority_share",
+             {"o_orderpriority": "o_orderpriority", "n_orders": "n_orders",
+              "share": "share"}),
+        ],
+    ),
+    # text-analysis singles: language-ID confusion counts, lang x source
+    # pivot, page-marker concat, keyword-overlap scores.
+    "panel_text": (
+        [("lang", "string"), ("predicted", "string"), ("n", "long"),
+         ("n_total", "long"), ("n_src0", "long"), ("n_src1", "long"),
+         ("n_src2", "long"), ("source", "string"),
+         ("paged_text", "string"), ("doc_id", "long"),
+         ("overlap_score", "double")],
+        [
+            ("lang_id", "q24_lang_id",
+             {"lang": "lang", "predicted": "predicted", "n": "n"}),
+            ("lang_pivot", "q30_lang_pivot",
+             {"lang": "lang", "n_total": "n_total", "n_src0": "n_src0",
+              "n_src1": "n_src1", "n_src2": "n_src2"}),
+            ("page_concat", "q35_page_concat",
+             {"source": "source", "paged_text": "paged_text"}),
+            ("keyword_overlap", "q36_keyword_overlap",
+             {"doc_id": "doc_id", "overlap_score": "overlap_score"}),
+        ],
+    ),
+    # ANN / retrieval family: brute-force cosine top-k, IVF probe,
+    # filtered retrieval candidates, recall@10 evaluation.
+    "panel_ann": (
+        [("vec_id", "long"), ("label", "int"), ("cosine", "double"),
+         ("cell", "long"), ("doc_id", "long"), ("lang", "string"),
+         ("n_chars", "long"), ("conf", "double"), ("n_overlap", "long"),
+         ("recall_at_10", "double")],
+        [
+            ("brute_topk", "q27_cosine_topk",
+             {"vec_id": "vec_id", "label": "label", "cosine": "cosine"}),
+            ("ivf_topk", "q46_ivf_topk",
+             {"vec_id": "vec_id", "cell": "cell", "cosine": "cosine"}),
+            ("retrieval_filters", "q47_retrieval_filters",
+             {"doc_id": "doc_id", "lang": "lang", "n_chars": "n_chars",
+              "conf": "conf"}),
+            ("recall", "q50_ann_recall",
+             {"n_overlap": "n_overlap", "recall_at_10": "recall_at_10"}),
+        ],
+    ),
 }
 
 
@@ -450,25 +606,24 @@ PANELED: frozenset[str] = frozenset(
 )
 
 # driver-view ordering hedge: if the driver's gate is time-bounded rather
-# than count-bounded, the entries whose operators lacked CORRECTNESS rows
-# in round 2 (plus this round's new ones) must run first
+# than count-bounded, the entries new or restructured this round (round-4
+# operators, then the six new consolidation panels and the two panels
+# that absorbed standalones) must run first
 _FRONT = [
-    "q69_field_groups",
-    "q70_text_similarity",
-    "q73_tfidf_topk",
-    "q74_answer_confidence",
-    "panel_quality",
+    "panel_round3",
+    "panel_span_ops",
+    "panel_extract_core",
+    "panel_relational",
+    "panel_text",
+    "panel_ann",
     "panel_dup_clusters",
-    "panel_event_windows",
     "panel_event_stats",
+    "panel_quality",
+    "panel_event_windows",
     "panel_join_revenue",
     "panel_doc_profile",
     "panel_token_lang_stats",
     "panel_token_index",
-    "q54_chunk_overlap",
-    "q56_ocr_clean_chain",
-    "q66_span_confidence",
-    "q67_winnowing_fingerprints",
     "panel_table_form",
     "panel_extract_edges",
     "panel_kmeans",

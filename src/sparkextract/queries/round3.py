@@ -239,9 +239,14 @@ FROM (
 # the propagation loop runs actions eagerly (convergence tests), so when
 # q71 and q72 share one session+input (the panel view unions both) the
 # localCheckpoint()ed fixed point is reused instead of recomputed.
+# ASSUMPTION: the parquet under sf_dir is immutable for the lifetime of a
+# (session, sf_dir) pair — true for the driver contract and every test
+# (tmp dirs are written once, then read). A caller that rewrites data in
+# place under the same session must pop the key or use a fresh dir.
 # FIFO-bounded: entries for stopped sessions would otherwise pin dead
 # DataFrame/JVM-gateway references for the process lifetime (pytest and
-# repeated driver rounds run many sessions in one process)
+# repeated driver rounds run many sessions in one process); eviction
+# unpersists the checkpointed blocks so storage doesn't accumulate.
 _COMPONENTS_MEMO: dict[tuple[str, str], object] = {}
 _COMPONENTS_MEMO_CAP = 4
 
@@ -286,7 +291,11 @@ def _dup_components(spark, sf_dir):
     labels = joined.drop("old")
     edges.unpersist()
     while len(_COMPONENTS_MEMO) >= _COMPONENTS_MEMO_CAP:
-        _COMPONENTS_MEMO.pop(next(iter(_COMPONENTS_MEMO)))
+        evicted = _COMPONENTS_MEMO.pop(next(iter(_COMPONENTS_MEMO)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # session already stopped; JVM refs are gone anyway
     _COMPONENTS_MEMO[memo_key] = labels
     return labels
 

@@ -43,15 +43,28 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_sparkextract_pyfiles_added", False):
         return
-    try:
-        sc.addPyFile(build_pyfiles_zip())
-    except Exception as e:
-        # a duplicate add on a reused session means the zip IS shipped —
-        # record that; any other failure (temp-dir/IO error building the
-        # zip) must stay retryable, or every pandas-UDF stage would hit
-        # executor-side ModuleNotFoundError for the rest of the app
-        if "exist" not in str(e).lower():
-            return
+
+    def _shipped() -> bool:
+        # ground truth, not message matching: error strings like
+        # "file ... does not exist" would false-positive a substring test
+        # and permanently suppress the retry
+        try:
+            return any(
+                f.rsplit("/", 1)[-1] == "sparkextract.zip" for f in sc.listFiles
+            )
+        except Exception:
+            return False
+
+    if not _shipped():
+        try:
+            sc.addPyFile(build_pyfiles_zip())
+        except Exception:
+            # any failure (temp-dir/IO error building the zip, a racing
+            # duplicate add) must stay retryable unless the zip verifiably
+            # made it aboard — otherwise every pandas-UDF stage hits
+            # executor-side ModuleNotFoundError for the rest of the app
+            if not _shipped():
+                return
     sc._sparkextract_pyfiles_added = True
 
 

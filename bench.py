@@ -73,6 +73,9 @@ HEADLINE = [
     "q73_tfidf_topk",
     "q82_sessionize",
     "q84_repetition_rules",
+    "q87_lm_quality_score",
+    "q88_pmi_cooccurrence",
+    "q91_ngram_decontamination",
 ]
 
 

@@ -427,8 +427,11 @@ _Q68_CORPUS = """
       FROM documents WHERE doc_id % 11 = 0
 """
 
-_Q68_ORACLE = f"""
-    WITH {_simhash48_sql(_Q68_CORPUS)},
+def simhash_pairs_sql(corpus_cte: str) -> str:
+    """CTE chain ending in dup_pairs(left_id, right_id, hamming) — the
+    DuckDB twin of ``simhash_banded_pairs`` over ``_simhash48_sql``
+    signatures. Shared by q68 and q94's end-to-end composition."""
+    return f"""{_simhash48_sql(corpus_cte)},
     buckets AS (
       SELECT doc_id, simhash, band,
              (simhash >> (band * {_SH_BAND_BITS})) & {(1 << _SH_BAND_BITS) - 1} AS bv
@@ -439,11 +442,18 @@ _Q68_ORACLE = f"""
              x.simhash AS sx, y.simhash AS sy
       FROM buckets x JOIN buckets y
         ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-    )
-    SELECT l AS left_id, r AS right_id,
-           CAST(bit_count(CAST(xor(sx, sy) AS BIGINT)) AS INT) AS hamming
-    FROM pairs
-    WHERE bit_count(CAST(xor(sx, sy) AS BIGINT)) <= {_SH_RADIUS}
+    ),
+    dup_pairs AS (
+      SELECT l AS left_id, r AS right_id,
+             CAST(bit_count(CAST(xor(sx, sy) AS BIGINT)) AS INT) AS hamming
+      FROM pairs
+      WHERE bit_count(CAST(xor(sx, sy) AS BIGINT)) <= {_SH_RADIUS}
+    )"""
+
+
+_Q68_ORACLE = f"""
+    WITH {simhash_pairs_sql(_Q68_CORPUS)}
+    SELECT left_id, right_id, hamming FROM dup_pairs
 """
 
 
@@ -526,6 +536,17 @@ def q68_simhash_near_dup(spark, sf_dir):
             except Exception:
                 pass  # session already stopped; JVM refs are gone anyway
         _Q68_SIGS_MEMO[memo_key] = sigs
+    return simhash_banded_pairs(sigs)
+
+
+def simhash_banded_pairs(sigs):
+    """MATERIALIZED sigs(doc_id, simhash) -> near-dup pairs
+    (left_id, right_id, hamming <= radius) via the 6-band pigeonhole
+    self-join (radius-5 lossless). The caller must pass an
+    already-materialized frame (localCheckpoint/persist) — a lazy one
+    recomputes its whole lineage on BOTH sides of the self-join (the
+    measured-16x q68 lesson above). Shared by q68 and the q94
+    end-to-end corpus-clean composition."""
     mask = (1 << _SH_BAND_BITS) - 1
     buckets = sigs.select(
         "doc_id",

@@ -63,7 +63,13 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the flat ``documents`` table into the BASELINE.json input_hint
     shape. Routing is deterministic on doc_id: %3==0 → text (+media span),
     %3==1 → html-wrapped, %3==2 → pdf_layout."""
-    docs = load(spark, sf_dir, "documents")
+    return wrap_docs(load(spark, sf_dir, "documents"))
+
+
+def wrap_docs(docs: DataFrame) -> DataFrame:
+    """Wrap any flat (doc_id, text) frame into the interleaved span shape
+    (same deterministic doc_id%3 routing); shared with q94's augmented
+    corpus."""
     kind = _routed_kind()
     first_span = F.struct(
         kind.alias("kind"),

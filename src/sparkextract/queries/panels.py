@@ -610,6 +610,11 @@ PANELED: frozenset[str] = frozenset(
 # operators, then the six new consolidation panels and the two panels
 # that absorbed standalones) must run first
 _FRONT = [
+    "q91_ngram_decontamination",
+    "q92_citation_assembly",
+    "q93_query_expansion",
+    "q94_corpus_clean_pipeline",
+    "q95_manifest_resume_state",
     "panel_round3",
     "panel_span_ops",
     "panel_extract_core",

@@ -251,15 +251,12 @@ _COMPONENTS_MEMO: dict[tuple[str, str], object] = {}
 _COMPONENTS_MEMO_CAP = 4
 
 
-def _dup_components(spark, sf_dir):
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _COMPONENTS_MEMO.get(memo_key)
-    if cached is not None:
-        return cached
-    edges = (
-        q53_banded_lsh_near_dup(spark, sf_dir)
-        .select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
-    )
+def label_propagation(pair_df):
+    """(left_id, right_id) dup pairs -> (id, lbl) connected-component
+    labels via iterated min-label propagation. Each iteration is ONE
+    shuffle of label-sized rows; per-iteration localCheckpoint keeps
+    lineage O(1). Shared by q71/q72 and the q94 end-to-end composition."""
+    edges = pair_df.select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -287,9 +284,18 @@ def _dup_components(spark, sf_dir):
             break
         labels = joined.drop("old")
     else:
-        raise RuntimeError("q71 label propagation did not converge in 30 rounds")
+        raise RuntimeError("label propagation did not converge in 30 rounds")
     labels = joined.drop("old")
     edges.unpersist()
+    return labels
+
+
+def _dup_components(spark, sf_dir):
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COMPONENTS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    labels = label_propagation(q53_banded_lsh_near_dup(spark, sf_dir))
     while len(_COMPONENTS_MEMO) >= _COMPONENTS_MEMO_CAP:
         evicted = _COMPONENTS_MEMO.pop(next(iter(_COMPONENTS_MEMO)))
         try:
@@ -1197,10 +1203,12 @@ def q83_hll_distinct(spark, sf_dir):
 # guards size<2 explicitly (F.sequence(1,0) is DESCENDING in Spark —
 # the q68 advice bug class); both fractions are ROUND(...,6)-ed BEFORE
 # the threshold compare so the keep decision is identical in both
-# engines. Scale shape: two explode->groupBy(doc_id) aggregates joined
-# on doc_id — every shuffle is key-partitioned on doc_id and AQE
-# coalesces; nothing is quadratic in doc length but the bigram list
-# (linear).
+# engines. Scale shape: ONE text scan — the bigram stats are
+# array-local, so they are computed before the word explode and carried
+# through both aggregations as grouping keys (functionally dependent on
+# doc_id); no big/tw join exists at all (r3 plan audit showed 2 scans +
+# a doc_id join). Both shuffles are key-partitioned and mergeable;
+# nothing is quadratic in doc length but the bigram list (linear).
 _Q84_DUP_MAX = 0.05   # duplicate-bigram fraction ceiling
 _Q84_TOP_MAX = 0.15   # most-common-word mass ceiling
 
@@ -1252,8 +1260,7 @@ def q84_repetition_rules(spark, sf_dir):
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("a"),
     )
-    grams = toks.select(
-        "doc_id",
+    grams = (
         F.when(
             F.size("a") >= 2,
             F.transform(
@@ -1264,19 +1271,28 @@ def q84_repetition_rules(spark, sf_dir):
             ),
         )
         .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
     )
-    big = grams.select(
+    # Per-doc stats MUST become attributes in their own select BEFORE the
+    # explode: a generator select hoists every non-attribute expression
+    # into a Project ABOVE the Generate, re-evaluating the O(len^2)
+    # array_distinct once per exploded word (measured 9x slower at
+    # sf0.1). As attributes they sit in the Project BELOW the Generate
+    # (plan node order verified in PLANS.md) — once per doc.
+    # explode drops zero-token docs — matching the oracle, whose inner
+    # join on the word-count CTE drops them too
+    stats = toks.select(
         "doc_id",
-        F.size("grams").alias("n_bigrams"),
-        F.size(F.array_distinct("grams")).alias("n_distinct_bigrams"),
+        F.size(grams).alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_bigrams"),
+        "a",
     )
-    wc = (
-        toks.select("doc_id", F.explode("a").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
+    base = stats.select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", F.explode("a").alias("word")
     )
-    tw = wc.groupBy("doc_id").agg(
+    wc = base.groupBy(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", "word"
+    ).agg(F.count("*").alias("cnt"))
+    tw = wc.groupBy("doc_id", "n_bigrams", "n_distinct_bigrams").agg(
         F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_words")
     )
     dup_frac = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
@@ -1286,7 +1302,7 @@ def q84_repetition_rules(spark, sf_dir):
             6,
         )
     )
-    scored = big.join(tw, "doc_id").select(
+    scored = tw.select(
         "doc_id",
         "n_bigrams",
         "n_distinct_bigrams",
@@ -1457,9 +1473,11 @@ def q86_weighted_sample(spark, sf_dir):
 # Scale shape: LM counts are two mergeable token-grain aggregates
 # (bigram, context), the scoring join is vocab-keyed exactly like q73
 # (no broadcast assumption — a web-corpus bigram table is large), and
-# the per-doc rollup shuffles on doc_id. Nothing is quadratic; the
-# model "training" and the scoring pass are the same two scans a
-# 100 TB CCNet run makes.
+# the per-doc rollup shuffles on doc_id. Nothing is quadratic. The
+# tokenized corpus is materialized ONCE (checkpoint_memo) and the
+# bigram/context/vocab counts plus the scoring pass all derive from
+# it — the plan makes a single parquet scan of the text column (r3
+# plan audit showed 4; a 100 TB CCNet run tokenizes once too).
 _Q87_MIN_LOGP = -3.45
 
 _Q87_ORACLE = f"""
@@ -1499,10 +1517,16 @@ GROUP BY doc_id
 def q87_lm_quality_score(spark, sf_dir):
     from pyspark.sql.functions import broadcast
 
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("a"),
+    from sparkextract.queries.base import checkpoint_memo
+
+    toks = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q87_toks",
+        lambda: load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("a"),
+        ),
     )
     inst = toks.select(
         "doc_id",

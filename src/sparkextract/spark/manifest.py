@@ -64,14 +64,23 @@ def done_buckets(spark: SparkSession, root: str) -> DataFrame:
 
 
 def filter_todo(
-    docs: DataFrame, spark: SparkSession, root: str, num_buckets: int = config.MANIFEST_NUM_BUCKETS
+    docs: DataFrame,
+    spark: SparkSession,
+    root: str,
+    num_buckets: int = config.MANIFEST_NUM_BUCKETS,
+    bucket_col=None,
 ) -> DataFrame:
     """J2: drop documents whose bucket is already committed. The done-
     bucket set is tiny (<= num_buckets rows) → broadcast anti-join, no
-    shuffle of the big side."""
+    shuffle of the big side.
+
+    ``bucket_col`` overrides the default xxhash64 bucket expression
+    (q95 passes the engine-portable md5 bucket so the DuckDB oracle can
+    reproduce the assignment; a real deployment keeps xxhash64)."""
     done = done_buckets(spark, root).select("doc_id_bucket")
+    bucket = bucket_expr(num_buckets) if bucket_col is None else bucket_col.cast("int")
     return (
-        docs.withColumn("doc_id_bucket", bucket_expr(num_buckets))
+        docs.withColumn("doc_id_bucket", bucket)
         .join(F.broadcast(done), "doc_id_bucket", "left_anti")
     )
 
@@ -84,6 +93,7 @@ def run_extraction_job(
     num_buckets: int = config.MANIFEST_NUM_BUCKETS,
     skew_threshold: int = config.MEGA_DOC_SPAN_THRESHOLD,
     fail_after_buckets: int | None = None,
+    bucket_col=None,
 ) -> dict:
     """One resumable run: anti-join manifest → extract → write → commit.
 
@@ -96,9 +106,10 @@ def run_extraction_job(
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
 
-    todo = filter_todo(docs, spark, root, num_buckets)
+    todo = filter_todo(docs, spark, root, num_buckets, bucket_col=bucket_col)
     exploded = extract_exploded(todo.drop("doc_id_bucket"), skew_threshold=skew_threshold)
-    exploded = exploded.withColumn("bucket", bucket_expr(num_buckets))
+    out_bucket = bucket_expr(num_buckets) if bucket_col is None else bucket_col.cast("int")
+    exploded = exploded.withColumn("bucket", out_bucket)
 
     # Per-bucket span/table metrics ride along with the WRITE via
     # df.observe(): at 100 TB a post-write `spark.read.parquet(out_dir)`

@@ -611,6 +611,12 @@ PANELED: frozenset[str] = frozenset(
 # that absorbed standalones) must run first
 _FRONT = [
     "q91_ngram_decontamination",
+    "q96_block_dedup",
+    "q97_pii_redaction",
+    "q98_domain_rollup",
+    "q99_exact_substring_dedup",
+    "q100_sequence_packing",
+    "q101_leakage_safe_split",
     "q92_citation_assembly",
     "q93_query_expansion",
     "q94_corpus_clean_pipeline",

@@ -523,3 +523,449 @@ def q95_manifest_resume_state(spark, sf_dir):
             "run_seq"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q96: C4-STYLE BLOCK-LEVEL CORPUS DEDUP — the C4 pipeline's exact
+# duplicate removal at sub-document grain (C4 dedups three-sentence
+# spans corpus-wide and keeps the first occurrence): the corpus is cut
+# into consecutive B-token blocks, a block is KEPT iff its (doc_id,
+# block_idx) is the first occurrence of its md5 across the whole corpus
+# (order by doc_id, then block_idx), and each document reports its
+# kept fraction plus the md5 of the reassembled kept text. Reference
+# analog: chunk content-hash dedup
+# (/root/reference/src/rag/text_processor.py:534) pushed from chunk
+# grain down to fixed-token-block grain.
+# Scale shape: block generation is doc-local (transform over the token
+# array, q88's no-shuffle lesson); the only shuffles are the
+# first-occurrence window keyed on block hash (each hash partition is a
+# handful of rows) and the per-doc rollup on doc_id — both
+# key-partitioned, nothing quadratic, the 100 TB C4 shape.
+_Q96_BLOCK = 8
+
+_Q96_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS a
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, i - 1 AS block_idx,
+         array_to_string(a[(i - 1) * {_Q96_BLOCK} + 1 : i * {_Q96_BLOCK}], ' ')
+           AS block
+  FROM toks, unnest(range(1, CAST(ceil(len(a) / {_Q96_BLOCK}.0) AS BIGINT) + 1))
+         AS u(i)
+),
+marked AS (
+  SELECT doc_id, block_idx, block,
+         ROW_NUMBER() OVER (PARTITION BY md5(block)
+                            ORDER BY doc_id, block_idx) = 1 AS kept
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS kept_frac,
+       md5(COALESCE(string_agg(block, ' ' ORDER BY block_idx)
+                      FILTER (WHERE kept), '')) AS kept_text_md5
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("q96_block_dedup", oracle=_Q96_ORACLE)
+def q96_block_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    # size==0 guard: F.sequence(1, 0) is DESCENDING in Spark (the q84
+    # advice bug class) — zero-token docs must yield an empty block list
+    blocks = F.when(
+        F.size(a) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(F.size(a) / _Q96_BLOCK).cast("int")),
+            lambda i: F.array_join(
+                F.slice(a, (i - 1) * _Q96_BLOCK + 1, _Q96_BLOCK), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # posexplode drops zero-token docs — matching the oracle's empty range
+    exploded = docs.select(
+        "doc_id", F.posexplode(blocks).alias("block_idx", "block")
+    )
+    w = Window.partitionBy(F.md5("block")).orderBy("doc_id", "block_idx")
+    marked = exploded.withColumn("kept", F.row_number().over(w) == 1)
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kept"),
+                    F.struct(F.col("block_idx").alias("i"), F.col("block").alias("b")),
+                )
+            )
+        ),
+        lambda s: s["b"],
+    )
+    n_kept = F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept.cast("double") / F.count("*"), 6).alias("kept_frac"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("kept_text_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q97: PII REDACTION — the scrub pass every public-web training corpus
+# runs before tokenization: emails and phone-shaped strings are replaced
+# by typed placeholder tags and counted per document. The corpus carries
+# no natural PII, so deterministic PII is injected first (doc_id%7 adds
+# an email, doc_id%13 adds a phone — the q68 injection pattern); the
+# operator is the redaction itself. Patterns stay in the portable
+# regex subset (character classes, +, {m,n}, \b) that Java regex (Spark)
+# and RE2 (DuckDB) evaluate identically. Reference analog: the OCR
+# text-clean regex chain (/root/reference/src/utils/validation.py via
+# core/normalize.py:42) applied to privacy scrubbing.
+# Scale shape: map-only — one scan, zero shuffles at any corpus size.
+_Q97_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_Q97_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+_Q97_CORPUS = """
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+                      ELSE '' END
+              || CASE WHEN doc_id % 13 = 0
+                      THEN ' call 555-' || SUBSTRING(
+                             CAST(10000 + doc_id % 10000 AS VARCHAR), 2, 4)
+                      ELSE '' END AS text
+  FROM documents
+"""
+
+_Q97_ORACLE = f"""
+WITH corpus AS (
+  {_Q97_CORPUS}
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_Q97_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_Q97_PHONE_RE}')) AS INT) AS n_phones,
+       (len(regexp_extract_all(text, '{_Q97_EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{_Q97_PHONE_RE}'))) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(text, '{_Q97_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_Q97_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM corpus
+"""
+
+
+@register("q97_pii_redaction", oracle=_Q97_ORACLE)
+def q97_pii_redaction(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    phone4 = F.substring(
+        (10000 + F.col("doc_id") % 10000).cast("string"), 2, 4
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.lit(" call 555-"), phone4))
+        .otherwise(F.lit("")),
+    )
+    n_emails = F.regexp_count(text, F.lit(_Q97_EMAIL_RE)).cast("int")
+    n_phones = F.regexp_count(text, F.lit(_Q97_PHONE_RE)).cast("int")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, _Q97_EMAIL_RE, "<EMAIL>"), _Q97_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q98: DOMAIN-LEVEL FILTERING + ROLLUP — the web-pipeline step that
+# scores and gates whole domains (spam/SEO domains are dropped as a
+# unit, per-domain quotas cap crawl skew). Each doc carries a
+# deterministic synthetic URL; the DOMAIN IS PARSED FROM THE URL STRING
+# (split on '/'), never recomputed from doc_id — string parsing is the
+# operator. The blocklist is the md5-bucket(domain)%11==0 slice,
+# applied as a BROADCAST ANTI-JOIN (a real blocklist is a curated list,
+# not a predicate). Output: per surviving domain, doc count, total
+# chars, mean quality. Reference analog: content-type/min-confidence
+# retrieval filters (/root/reference/src/rag/vector_store.py filters)
+# lifted to domain grain.
+# Scale shape: one groupBy(domain) keyed shuffle; the blocklist is a
+# CURATED EXTERNAL LIST (built driver-side from the known domain
+# universe, exactly how a real blocklist arrives) so the corpus is
+# scanned once — deriving it from the corpus would either re-scan or
+# rely on ReuseExchange firing across sibling subtrees (it doesn't
+# under AQE). The anti-join broadcasts the list; at web scale
+# (~millions of domains) it still broadcasts, or at worst falls back
+# to a keyed join on the ALREADY-AGGREGATED domain grain, never the
+# doc grain.
+_Q98_DOMAINS = 97
+_Q98_BLOCK_BUCKETS = 11
+
+_Q98_URLS = f"""
+  SELECT doc_id, n_chars,
+         'https://site' || CAST(doc_id % {_Q98_DOMAINS} AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+"""
+
+_Q98_ORACLE = f"""
+WITH urls AS (
+  {_Q98_URLS}
+),
+parsed AS (
+  SELECT doc_id, n_chars, split_part(url, '/', 3) AS domain FROM urls
+),
+per_domain AS (
+  SELECT domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS mean_chars
+  FROM parsed GROUP BY domain
+)
+SELECT domain, n_docs, total_chars, mean_chars
+FROM per_domain
+WHERE {md5_bucket_sql("domain", _Q98_BLOCK_BUCKETS)} <> 0
+"""
+
+
+@register("q98_domain_rollup", oracle=_Q98_ORACLE)
+def q98_domain_rollup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % _Q98_DOMAINS).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    parsed = docs.select(
+        "n_chars", F.element_at(F.split("url", "/"), 3).alias("domain")
+    )
+    per_domain = parsed.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+            "mean_chars"
+        ),
+    )
+    import hashlib
+
+    blocked = [
+        (d,)
+        for i in range(_Q98_DOMAINS)
+        for d in [f"site{i}.example.com"]
+        if int(hashlib.md5(d.encode()).hexdigest()[:8], 16) % _Q98_BLOCK_BUCKETS == 0
+    ]
+    blocklist = spark.createDataFrame(blocked, "domain string")
+    return per_domain.join(F.broadcast(blocklist), "domain", "left_anti")
+
+
+# --------------------------------------------------------------------------
+# q99: EXACT-SUBSTRING SELF-DEDUP — the ExactSubstr check of
+# "Deduplicating Training Data Makes Language Models Better" (Lee et
+# al., 2022) at K-token-window grain: a window is duplicated if the
+# SAME K tokens appear in ANY OTHER document; each doc reports the
+# duplicated fraction of its windows. Complements q91 (corpus vs eval
+# set) with corpus vs itself. The full suffix-array construction is
+# replaced by the standard scalable approximation: overlapping K-token
+# window hashes + a corpus-wide document-frequency count.
+# Scale shape: window generation is doc-local (stride 1, linear);
+# the df count is ONE mergeable groupBy(kh); the join back to docs is
+# kh-keyed big-big (the honest ExactSubstr shape — both sides are
+# corpus-sized, co-partitioned on the join key); the final rollup
+# shuffles on doc_id. Nothing quadratic, no self-join of the corpus.
+_Q99_K = 20
+_Q99_FLAG_FRAC = 0.5
+
+_Q99_ORACLE = f"""
+WITH wk AS (
+  SELECT DISTINCT doc_id, md5(kgram) AS kh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a) - {_Q99_K} + 2),
+                  i -> array_to_string(a[i:i+{_Q99_K - 1}], ' '))) AS kgram
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS a
+          FROM documents)
+    WHERE len(a) >= {_Q99_K})
+),
+df AS (
+  SELECT kh, COUNT(*) AS n_docs FROM wk GROUP BY kh
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_frac,
+       (ROUND(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+          > {_Q99_FLAG_FRAC}) AS flagged
+FROM wk w JOIN df d ON d.kh = w.kh
+GROUP BY w.doc_id
+"""
+
+
+@register("q99_exact_substring_dedup", oracle=_Q99_ORACLE)
+def q99_exact_substring_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wk = _kgram_hashes(docs, _Q99_K)
+    df = wk.groupBy("kh").agg(F.count("*").alias("n_docs"))
+    dup1 = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    frac = F.round(
+        F.sum(dup1).cast("double") / F.count("*"), 6
+    )
+    return (
+        wk.join(df, "kh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup1).cast("long").alias("n_dup"),
+            frac.alias("dup_frac"),
+            (frac > _Q99_FLAG_FRAC).alias("flagged"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q100: SEQUENCE PACKING — the GPT-style pretraining layout pass:
+# documents are concatenated into a token stream per shard and the
+# stream is cut into fixed CTX-token training windows; the operator
+# reports each document's position in the stream and which windows it
+# spans (a doc straddling a window boundary is split across examples —
+# the packing bookkeeping a data loader needs). Shard = md5 bucket of
+# doc_id; within a shard the order is (n_tokens DESC, doc_id) —
+# deterministic, and size-descending keeps long docs from straddling
+# more windows than necessary.
+# Scale shape: ONE keyed shuffle (shard) + an in-shard sort window for
+# the running sum; shard count scales with the corpus so per-shard
+# state is bounded. No joins, no driver state.
+_Q100_CTX = 256
+_Q100_SHARDS = 8
+
+_Q100_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {md5_bucket_sql("doc_id", _Q100_SHARDS)} AS shard,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(shard AS INT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t WHERE n_tokens >= 1
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_pos,
+       CAST((cum - n_tokens) // {_Q100_CTX} AS INT) AS first_window,
+       CAST((cum - 1) // {_Q100_CTX} AS INT) AS last_window,
+       CAST((cum - 1) // {_Q100_CTX} - (cum - n_tokens) // {_Q100_CTX} + 1 AS INT)
+         AS n_windows
+FROM pos
+"""
+
+
+@register("q100_sequence_packing", oracle=_Q100_ORACLE)
+def q100_sequence_packing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = docs.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id"), _Q100_SHARDS).cast("int").alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    first_w = F.floor(start / _Q100_CTX).cast("int")
+    last_w = F.floor((cum - 1) / _Q100_CTX).cast("int")
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_pos"),
+        first_w.alias("first_window"),
+        last_w.alias("last_window"),
+        (last_w - first_w + 1).cast("int").alias("n_windows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q101: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — a naive per-doc random
+# split leaks near-duplicates across the boundary (the test set scores
+# inflate because a sibling of every test doc sits in train); the
+# correct split assigns the WHOLE near-dup cluster one way, keyed on
+# the cluster's survivor id. Reuses q71's connected components over
+# the q53 banded-LSH pairs (memoized per session+input) and q78's
+# md5-bucket determinism: buckets 0-7 train, 8 val, 9 test.
+# Scale shape: the label frame is clustered nodes only (a tiny
+# fraction of the corpus) -> broadcast left join; the split assignment
+# is map-only on top.
+_Q101_BUCKETS = 10
+
+_Q101_ORACLE = None  # built below from q71's recursive-CTE components
+
+
+def _q101_oracle() -> str:
+    from sparkextract.queries.round3 import _Q71_ORACLE
+
+    split_case = f"""CASE
+      WHEN {md5_bucket_sql("COALESCE(c.component, e.vec_id)", _Q101_BUCKETS)} <= 7
+        THEN 'train'
+      WHEN {md5_bucket_sql("COALESCE(c.component, e.vec_id)", _Q101_BUCKETS)} = 8
+        THEN 'val'
+      ELSE 'test' END"""
+    return f"""
+WITH comp AS (
+  SELECT vec_id, component FROM ({_Q71_ORACLE}) _c
+)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS cluster_id,
+       (c.component IS NOT NULL) AS in_cluster,
+       {split_case} AS split
+FROM embeddings e
+LEFT JOIN comp c ON c.vec_id = e.vec_id
+"""
+
+
+@register("q101_leakage_safe_split", oracle=_q101_oracle())
+def q101_leakage_safe_split(spark, sf_dir):
+    from sparkextract.queries.round3 import _dup_components
+
+    labels = _dup_components(spark, sf_dir).select(
+        F.col("id").alias("c_vec_id"), F.col("lbl").alias("component")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    cluster = F.coalesce("component", "vec_id")
+    b = md5_bucket(cluster, _Q101_BUCKETS)
+    split = (
+        F.when(b <= 7, F.lit("train")).when(b == 8, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+    return emb.join(
+        F.broadcast(labels), emb["vec_id"] == labels["c_vec_id"], "left"
+    ).select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        F.col("component").isNotNull().alias("in_cluster"),
+        split.alias("split"),
+    )

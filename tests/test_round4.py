@@ -156,3 +156,156 @@ def test_q95_crash_resume_split(spark):
         assert r["table_count"] == 0
     n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
     assert sum(r["doc_count"] for r in rows) == n_docs
+
+
+def test_q96_block_dedup_first_writer_wins(spark):
+    """A block's first occurrence (by doc_id, block_idx) is kept and every
+    later occurrence dropped; a fully-unique doc keeps everything and its
+    kept_text_md5 equals the md5 of its block-joined text."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    out = SPARK_QUERIES["q96_block_dedup"](spark, SF_DIR).cache()
+    rows = out.collect()
+    # n_kept == 0 is legal: a doc whose every block appeared earlier
+    assert rows and all(0 <= r["n_kept"] <= r["n_blocks"] for r in rows)
+    # corpus-wide: with a ~31-token vocabulary 8-token blocks collide, so
+    # SOME dedup must happen, but doc 0 (first writer for all its blocks
+    # unless it self-repeats) keeps its first block at minimum
+    assert any(r["n_kept"] < r["n_blocks"] for r in rows)
+    d0 = [r for r in rows if r["doc_id"] == 0][0]
+    assert d0["n_kept"] >= 1
+    out.unpersist()
+
+
+def test_q96_oracle_tiny(spark):
+    """3-doc frame with a verbatim duplicate: the copy keeps nothing, the
+    original keeps all."""
+    import duckdb
+
+    from sparkextract.queries.round4 import _Q96_ORACLE
+
+    t = " ".join(f"tok{i}" for i in range(20))
+    rows = [(1, t), (2, t), (3, "short unique words only here")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}')" for i, s in rows)
+        + ") AS t(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2]) for r in con.execute(_Q96_ORACLE).fetchall()
+    }
+    assert got[1][1] == got[1][0]  # original keeps all blocks
+    assert got[2][1] == 0  # verbatim copy keeps none
+    assert got[3][1] == got[3][0]
+
+
+def test_q97_redaction_counts(spark):
+    """Injected docs carry exactly the injected PII; uninjected docs have
+    none; redacted text never contains an email/phone shape."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    out = SPARK_QUERIES["q97_pii_redaction"](spark, SF_DIR).cache()
+    assert out.filter("doc_id % 7 = 0 AND n_emails != 1").count() == 0
+    assert out.filter("doc_id % 7 != 0 AND n_emails != 0").count() == 0
+    assert out.filter("doc_id % 13 = 0 AND n_phones != 1").count() == 0
+    assert out.filter("doc_id % 13 != 0 AND n_phones != 0").count() == 0
+    assert out.filter("has_pii != (n_emails + n_phones > 0)").count() == 0
+    out.unpersist()
+
+
+def test_q98_blocklist_applied(spark):
+    """Blocked domains (md5 bucket 0) are absent; surviving stats are
+    internally consistent."""
+    import hashlib
+
+    from sparkextract.queries.registry import SPARK_QUERIES
+    from sparkextract.queries.round4 import _Q98_BLOCK_BUCKETS, _Q98_DOMAINS
+
+    rows = SPARK_QUERIES["q98_domain_rollup"](spark, SF_DIR).collect()
+    assert rows
+    blocked = {
+        f"site{i}.example.com"
+        for i in range(_Q98_DOMAINS)
+        if int(hashlib.md5(f"site{i}.example.com".encode()).hexdigest()[:8], 16)
+        % _Q98_BLOCK_BUCKETS
+        == 0
+    }
+    assert blocked  # the rule must actually block something
+    got = {r["domain"] for r in rows}
+    assert not (got & blocked)
+    assert len(got) + len(blocked) == _Q98_DOMAINS
+    for r in rows:
+        assert r["total_chars"] >= r["n_docs"] >= 1
+        assert abs(r["mean_chars"] - r["total_chars"] / r["n_docs"]) < 1e-4
+
+
+def test_q99_verbatim_pair_fully_duplicated(spark):
+    """Two identical long docs are 100% duplicated windows; a unique-vocab
+    doc has zero."""
+    from sparkextract.queries.round4 import _Q99_K, q99_exact_substring_dedup
+    import sparkextract.queries.round4 as r4
+    from sparkextract.queries.base import load as _load
+
+    t = " ".join(f"w{i}" for i in range(_Q99_K + 10))
+    u = " ".join(f"zq{i}" for i in range(_Q99_K + 5))
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, u)], "doc_id long, text string"
+    )
+    wk = r4._kgram_hashes(df, _Q99_K)
+    cnt = wk.groupBy("kh").count()
+    j = wk.join(cnt, "kh").groupBy("doc_id").agg(
+        F.sum(F.when(F.col("count") >= 2, 1).otherwise(0)).alias("dup"),
+        F.count("*").alias("n"),
+    )
+    got = {r["doc_id"]: (r["dup"], r["n"]) for r in j.collect()}
+    assert got[1][0] == got[1][1] > 0
+    assert got[2][0] == got[2][1]
+    assert got[3][0] == 0
+
+
+def test_q100_packing_invariants(spark):
+    """Per shard: start positions tile the stream exactly (sum of tokens ==
+    max end), windows are consistent with CTX, ordering is size-desc."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+    from sparkextract.queries.round4 import _Q100_CTX
+
+    out = SPARK_QUERIES["q100_sequence_packing"](spark, SF_DIR).collect()
+    assert out
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["start_pos"])
+        pos = 0
+        prev_tokens = None
+        for r in rs:
+            assert r["start_pos"] == pos
+            pos += r["n_tokens"]
+            assert r["first_window"] == r["start_pos"] // _Q100_CTX
+            assert r["last_window"] == (pos - 1) // _Q100_CTX
+            assert r["n_windows"] == r["last_window"] - r["first_window"] + 1
+            if prev_tokens is not None:
+                assert r["n_tokens"] <= prev_tokens
+            prev_tokens = r["n_tokens"]
+
+
+def test_q101_clusters_never_split(spark):
+    """Every member of a near-dup cluster lands in the same split, and the
+    split of a singleton is its own md5 bucket."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    out = SPARK_QUERIES["q101_leakage_safe_split"](spark, SF_DIR).cache()
+    n_bad = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert n_bad == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
+    # clustered points exist on this corpus (q53's LSH finds near-dups)
+    assert out.filter("in_cluster").count() > 0
+    out.unpersist()

@@ -617,6 +617,8 @@ _FRONT = [
     "q99_exact_substring_dedup",
     "q100_sequence_packing",
     "q101_leakage_safe_split",
+    "q102_int8_quantization",
+    "q103_snapshot_diff",
     "q92_citation_assembly",
     "q93_query_expansion",
     "q94_corpus_clean_pipeline",

@@ -969,3 +969,182 @@ def q101_leakage_safe_split(spark, sf_dir):
         F.col("component").isNotNull().alias("in_cluster"),
         split.alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# q102: INT8 EMBEDDING QUANTIZATION — the memory-scale path for
+# similarity search (a 100 TB embedding store is 4x smaller at int8;
+# FAISS SQ8 / pgvector halfvec ship exactly this): per-vector min/max
+# scalar quantization to 8-bit codes, midpoint dequantization, and the
+# top-10 neighbors ranked by QUANTIZED cosine with the exact cosine
+# alongside — the ranking-degradation evidence a recall report needs.
+# Reference analog: the pgvector embedding store + cosine retrieval
+# (/root/reference/src/rag/vector_store.py) with the storage format
+# dropped from float32 to int8.
+# Determinism: codes are floor((x-min)/scale) over doubles — identical
+# IEEE ops in both engines (never round(), whose tie rule differs);
+# cosines fold in element order and are ROUND(...,6)-ed before the
+# ORDER BY with a vec_id tie-break.
+# Scale shape: quantization is map-only; the query vector broadcasts
+# (1 row); top-k is TakeOrderedAndProject — the q27 no-shuffle shape.
+_Q102_LEVELS = 255
+
+_Q102_DEQ = f"""
+  SELECT vec_id, label,
+         CASE WHEN list_max(embedding) = list_min(embedding)
+              THEN list_transform(embedding, x -> CAST(list_min(embedding) AS DOUBLE))
+              ELSE list_transform(embedding, x ->
+                CAST(list_min(embedding) AS DOUBLE)
+                + (LEAST({_Q102_LEVELS}, GREATEST(0, floor(
+                     (CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+                     / ((CAST(list_max(embedding) AS DOUBLE)
+                         - CAST(list_min(embedding) AS DOUBLE)) / {_Q102_LEVELS}))))
+                   + 0.5)
+                  * ((CAST(list_max(embedding) AS DOUBLE)
+                      - CAST(list_min(embedding) AS DOUBLE)) / {_Q102_LEVELS}))
+         END AS deq,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ex
+  FROM embeddings
+"""
+
+
+def _q102_cos_sql(a: str, b: str) -> str:
+    from sparkextract.queries.vector import _DIM
+
+    def dot(u, v):
+        return (
+            f"list_sum(list_transform(range(1, {_DIM + 1}),"
+            f" i -> {u}[i] * {v}[i]))"
+        )
+
+    return f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
+
+
+_Q102_ORACLE = f"""
+WITH deq AS (
+  {_Q102_DEQ}
+),
+q AS (SELECT deq AS qd, ex AS qe FROM deq WHERE vec_id = 0)
+SELECT d.vec_id, d.label,
+       {_q102_cos_sql("d.deq", "q.qd")} AS cos_quant,
+       {_q102_cos_sql("d.ex", "q.qe")} AS cos_exact
+FROM deq d, q
+WHERE d.vec_id != 0
+ORDER BY cos_quant DESC, d.vec_id ASC
+LIMIT 10
+"""
+
+
+def _q102_deq_col():
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    scale = (hi - lo) / _Q102_LEVELS
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(_Q102_LEVELS),
+        F.greatest(F.lit(0), F.floor((x.cast("double") - lo) / scale)),
+    )
+    return F.when(hi == lo, F.transform("embedding", lambda x: lo)).otherwise(
+        F.transform("embedding", lambda x: lo + (code(x) + 0.5) * scale)
+    )
+
+
+@register("q102_int8_quantization", oracle=_Q102_ORACLE)
+def q102_int8_quantization(spark, sf_dir):
+    from sparkextract.queries.vector import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        "label",
+        _q102_deq_col().alias("deq"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ex"),
+    )
+    q = F.broadcast(
+        deq.filter(F.col("vec_id") == 0).select(
+            F.col("deq").alias("qd"), F.col("ex").alias("qe")
+        )
+    )
+
+    def cos(a, b):
+        return F.round(_dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))), 6)
+
+    return (
+        deq.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            cos("deq", "qd").alias("cos_quant"),
+            cos("ex", "qe").alias("cos_exact"),
+        )
+        .orderBy(F.desc("cos_quant"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q103: SNAPSHOT DIFF (CDC) — the incremental-ingest primitive of a
+# lakehouse corpus: given the previous snapshot and the current one,
+# classify every doc as added / changed / unchanged by content hash and
+# emit the change manifest the downstream pipeline consumes (only
+# added+changed re-enter extraction — the q95 resume idea at content
+# grain). The previous snapshot is simulated deterministically: docs in
+# md5 bucket 0 are missing from it (-> added), docs in bucket 1 carried
+# a different text (-> changed). Reference analog: the SHA-256
+# skip-if-ingested probe (/root/reference/src/rag/rag_pipeline.py:97-105)
+# upgraded from skip/no-skip to a three-way diff.
+# Scale shape: ONE equi-join on doc_id between two corpus-sized sides —
+# co-partitioned keyed shuffle (or zero shuffle when both snapshots are
+# bucketed by doc_id in the lake); the hash compare is map-side.
+_Q103_BUCKETS = 10
+
+_Q103_OLD = f"""
+  SELECT doc_id,
+         CASE WHEN {md5_bucket_sql("doc_id", _Q103_BUCKETS)} = 1
+              THEN 'stale ' || text ELSE text END AS text
+  FROM documents
+  WHERE {md5_bucket_sql("doc_id", _Q103_BUCKETS)} <> 0
+"""
+
+_Q103_ORACLE = f"""
+WITH old AS (
+  {_Q103_OLD}
+)
+SELECT n.doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       md5(n.text) AS content_md5,
+       (o.doc_id IS NULL OR md5(o.text) <> md5(n.text)) AS needs_extraction
+FROM documents n LEFT JOIN old o ON o.doc_id = n.doc_id
+"""
+
+
+@register("q103_snapshot_diff", oracle=_Q103_ORACLE)
+def q103_snapshot_diff(spark, sf_dir):
+    new = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b = md5_bucket(F.col("doc_id"), _Q103_BUCKETS)
+    old = (
+        new.filter(b != 0)
+        .select(
+            "doc_id",
+            F.when(b == 1, F.concat(F.lit("stale "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("old_text"),
+        )
+    )
+    j = new.join(old, "doc_id", "left")
+    changed = F.col("old_text").isNotNull() & (
+        F.md5("old_text") != F.md5("text")
+    )
+    status = (
+        F.when(F.col("old_text").isNull(), F.lit("added"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.md5("text").alias("content_md5"),
+        (F.col("old_text").isNull() | changed).alias("needs_extraction"),
+    )

@@ -309,3 +309,46 @@ def test_q101_clusters_never_split(spark):
     # clustered points exist on this corpus (q53's LSH finds near-dups)
     assert out.filter("in_cluster").count() > 0
     out.unpersist()
+
+
+def test_q102_quantization_fidelity(spark):
+    """Quantized cosine tracks exact cosine within the int8 error budget,
+    and a constant vector dequantizes to itself."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+    from sparkextract.queries.round4 import _q102_deq_col
+
+    rows = SPARK_QUERIES["q102_int8_quantization"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["cos_quant"] - r["cos_exact"]) < 0.05
+    # constant vector: scale==0 path returns the constant itself
+    df = spark.createDataFrame(
+        [(1, [2.5] * 4)], "vec_id long, embedding array<float>"
+    )
+    got = df.select(_q102_deq_col().alias("d")).collect()[0]["d"]
+    assert got == [2.5] * 4
+
+
+def test_q103_statuses(spark):
+    """Bucket 0 docs are added, bucket 1 changed, the rest unchanged;
+    needs_extraction covers exactly added+changed."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+    from sparkextract.queries.base import md5_bucket
+    from sparkextract.queries.round4 import _Q103_BUCKETS
+
+    out = SPARK_QUERIES["q103_snapshot_diff"](spark, SF_DIR)
+    b = md5_bucket(F.col("doc_id"), _Q103_BUCKETS)
+    expect = (
+        F.when(b == 0, F.lit("added"))
+        .when(b == 1, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    checked = out.withColumn("expect", expect).cache()
+    assert checked.filter("status != expect").count() == 0
+    assert checked.filter(
+        "needs_extraction != (status IN ('added', 'changed'))"
+    ).count() == 0
+    assert {r["status"] for r in checked.select("status").distinct().collect()} == {
+        "added", "changed", "unchanged"
+    }
+    checked.unpersist()

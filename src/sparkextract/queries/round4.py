@@ -784,11 +784,13 @@ def q98_domain_rollup(spark, sf_dir):
 # set) with corpus vs itself. The full suffix-array construction is
 # replaced by the standard scalable approximation: overlapping K-token
 # window hashes + a corpus-wide document-frequency count.
-# Scale shape: window generation is doc-local (stride 1, linear);
-# the df count is ONE mergeable groupBy(kh); the join back to docs is
-# kh-keyed big-big (the honest ExactSubstr shape — both sides are
-# corpus-sized, co-partitioned on the join key); the final rollup
-# shuffles on doc_id. Nothing quadratic, no self-join of the corpus.
+# Scale shape: window generation is doc-local (stride 1, linear); the
+# cross-doc count is a COUNT(*) OVER (PARTITION BY kh) analytic on the
+# SAME frame — one kh-keyed shuffle, ONE corpus scan (a groupBy+join
+# formulation reads and re-tokenizes the corpus twice, PLANS.md-verified)
+# — then the per-doc rollup shuffles on doc_id. Each kh partition is a
+# handful of rows, so the window never concentrates data. Nothing
+# quadratic, no self-join of the corpus.
 _Q99_K = 20
 _Q99_FLAG_FRAC = 0.5
 
@@ -803,18 +805,18 @@ WITH wk AS (
           FROM documents)
     WHERE len(a) >= {_Q99_K})
 ),
-df AS (
-  SELECT kh, COUNT(*) AS n_docs FROM wk GROUP BY kh
+counted AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY kh) AS n_docs FROM wk
 )
-SELECT w.doc_id,
+SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_windows,
-       CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       ROUND(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
          AS dup_frac,
-       (ROUND(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+       (ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
           > {_Q99_FLAG_FRAC}) AS flagged
-FROM wk w JOIN df d ON d.kh = w.kh
-GROUP BY w.doc_id
+FROM counted
+GROUP BY doc_id
 """
 
 
@@ -822,20 +824,16 @@ GROUP BY w.doc_id
 def q99_exact_substring_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     wk = _kgram_hashes(docs, _Q99_K)
-    df = wk.groupBy("kh").agg(F.count("*").alias("n_docs"))
-    dup1 = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
-    frac = F.round(
-        F.sum(dup1).cast("double") / F.count("*"), 6
+    counted = wk.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("kh"))
     )
-    return (
-        wk.join(df, "kh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(dup1).cast("long").alias("n_dup"),
-            frac.alias("dup_frac"),
-            (frac > _Q99_FLAG_FRAC).alias("flagged"),
-        )
+    dup1 = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    frac = F.round(F.sum(dup1).cast("double") / F.count("*"), 6)
+    return counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(dup1).cast("long").alias("n_dup"),
+        frac.alias("dup_frac"),
+        (frac > _Q99_FLAG_FRAC).alias("flagged"),
     )
 
 

@@ -76,6 +76,8 @@ HEADLINE = [
     "q87_lm_quality_score",
     "q88_pmi_cooccurrence",
     "q91_ngram_decontamination",
+    "q96_block_dedup",
+    "q99_exact_substring_dedup",
 ]
 
 

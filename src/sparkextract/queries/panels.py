@@ -619,6 +619,8 @@ _FRONT = [
     "q101_leakage_safe_split",
     "q102_int8_quantization",
     "q103_snapshot_diff",
+    "q104_bloom_filter_probe",
+    "q105_deterministic_shuffle",
     "q92_citation_assembly",
     "q93_query_expansion",
     "q94_corpus_clean_pipeline",

@@ -1146,3 +1146,246 @@ def q103_snapshot_diff(spark, sf_dir):
         F.md5("text").alias("content_md5"),
         (F.col("old_text").isNull() | changed).alias("needs_extraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# q104: BROADCAST BLOOM-FILTER PROBE — the join-pruning primitive that
+# makes contamination/dedup checks cheap at 100 TB (Spark's own runtime
+# row-level filtering, Iceberg bloom columns, and semi-join pushdown all
+# reduce to this): the eval set's k-gram keys are folded into a 1024-bit
+# Bloom filter (16 x 64-bit words, 2 md5-derived hash functions, fully
+# mergeable bit_or aggregation), the filter broadcasts, and the corpus
+# is probed map-side; only bloom-positive k-grams would ever reach the
+# expensive exact join. The query reports per-doc bloom-positive vs
+# exact-hit counts — false positives >= 0 by construction, false
+# negatives exactly 0 (the test invariant of a correct Bloom filter).
+# The corpus carries the q91 injected verbatim eval copies so true
+# hits exist and the zero-false-negative claim is exercised.
+# Reference analog: the SHA-256 ingest probe
+# (/root/reference/src/rag/rag_pipeline.py:97-105) as a probabilistic
+# prefilter instead of an exact lookup.
+# Scale shape: filter build is a <=32-row mergeable agg over the tiny
+# eval side; both probe lookups are broadcast joins on the 16-row word
+# table; the exact check is the same broadcast-kh join as q91. The
+# corpus shuffles only for the final doc_id rollup.
+_Q104_K = 13
+_Q104_BITS = 131072
+_Q104_WORDS = _Q104_BITS // 64
+_Q104_EVAL_BUCKETS = 20  # same eval slice as q91
+
+
+def _q104_pos_sql(kh: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || SUBSTRING(md5({kh} || ':{j}'), 1, 8)) AS UBIGINT)"
+        f" % {_Q104_BITS}"
+    )
+
+
+_Q104_ORACLE = f"""
+WITH ekh AS (
+  SELECT DISTINCT md5(kgram) AS kh FROM (
+    SELECT unnest(list_transform(range(1, len(a) - {_Q104_K} + 2),
+                  i -> array_to_string(a[i:i+{_Q104_K - 1}], ' '))) AS kgram
+    FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS a
+          FROM documents
+          WHERE {md5_bucket_sql("doc_id", _Q104_EVAL_BUCKETS)} = 0)
+    WHERE len(a) >= {_Q104_K})
+),
+positions AS (
+  SELECT {_q104_pos_sql("kh", 0)} AS pos FROM ekh
+  UNION ALL
+  SELECT {_q104_pos_sql("kh", 1)} AS pos FROM ekh
+),
+words AS (
+  SELECT CAST(pos // 64 AS INT) AS w,
+         bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+  FROM positions GROUP BY 1
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE {md5_bucket_sql("doc_id", _Q104_EVAL_BUCKETS)} <> 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  WHERE {md5_bucket_sql("doc_id", _Q104_EVAL_BUCKETS)} = 0
+),
+ckh AS (
+  SELECT DISTINCT doc_id, md5(kgram) AS kh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a) - {_Q104_K} + 2),
+                  i -> array_to_string(a[i:i+{_Q104_K - 1}], ' '))) AS kgram
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS a
+          FROM corpus)
+    WHERE len(a) >= {_Q104_K})
+),
+probed AS (
+  SELECT c.doc_id,
+         (w0.bits IS NOT NULL
+          AND (w0.bits >> CAST({_q104_pos_sql("c.kh", 0)} % 64 AS INT))
+              & 1 = 1
+          AND w1.bits IS NOT NULL
+          AND (w1.bits >> CAST({_q104_pos_sql("c.kh", 1)} % 64 AS INT))
+              & 1 = 1) AS bloom_hit,
+         (e.kh IS NOT NULL) AS exact_hit
+  FROM ckh c
+  LEFT JOIN words w0 ON w0.w = CAST({_q104_pos_sql("c.kh", 0)} // 64 AS INT)
+  LEFT JOIN words w1 ON w1.w = CAST({_q104_pos_sql("c.kh", 1)} // 64 AS INT)
+  LEFT JOIN ekh e ON e.kh = c.kh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+       CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM probed
+GROUP BY doc_id
+"""
+
+
+def _q104_pos(kh, j: int):
+    """Bit position j of key kh — the Spark twin of _q104_pos_sql."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(kh, F.lit(f":{j}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _Q104_BITS
+    )
+
+
+@register("q104_bloom_filter_probe", oracle=_Q104_ORACLE)
+def q104_bloom_filter_probe(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = md5_bucket(F.col("doc_id"), _Q104_EVAL_BUCKETS) == 0
+    ekh = _kgram_hashes(docs.filter(is_eval), _Q104_K).select("kh").distinct()
+    # both hash positions from ONE pass over the eval keys (an unionAll
+    # of two projections re-scans the eval subtree)
+    positions = ekh.select(
+        F.explode(
+            F.array(_q104_pos(F.col("kh"), 0), _q104_pos(F.col("kh"), 1))
+        ).alias("pos")
+    )
+    # the word is built as a signed long whose BIT PATTERN matches
+    # DuckDB's UBIGINT bit_or; shift builtins need F.expr (the PySpark
+    # wrappers accept only literal shift amounts)
+    words = positions.groupBy(
+        (F.col("pos") / 64).cast("int").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("bits")
+    )
+    corpus = docs.filter(~is_eval).unionByName(
+        docs.filter(is_eval).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    ckh = (
+        _kgram_hashes(corpus, _Q104_K)
+        .withColumn("p0", _q104_pos(F.col("kh"), 0))
+        .withColumn("p1", _q104_pos(F.col("kh"), 1))
+    )
+    w0 = words.select(F.col("w").alias("w0"), F.col("bits").alias("bits0"))
+    w1 = words.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    probed = (
+        ckh.join(
+            F.broadcast(w0), (F.col("p0") / 64).cast("int") == F.col("w0"), "left"
+        )
+        .join(
+            F.broadcast(w1), (F.col("p1") / 64).cast("int") == F.col("w1"), "left"
+        )
+        .join(F.broadcast(ekh.withColumn("exact", F.lit(1))), "kh", "left")
+    )
+    # unsigned shift then & 1: reads the BIT. Never %2 — a zero shift
+    # leaves the sign bit set and Spark's % takes the DIVIDEND's sign,
+    # so an odd NEGATIVE word gives -1, a silent false negative (bit 63
+    # keys only — caught by the sf0.01 gate)
+    bit0 = F.expr(
+        "(shiftrightunsigned(bits0, CAST(p0 % 64 AS INT)) & 1) = 1"
+    )
+    bit1 = F.expr(
+        "(shiftrightunsigned(bits1, CAST(p1 % 64 AS INT)) & 1) = 1"
+    )
+    bloom_hit = (
+        F.col("bits0").isNotNull()
+        & bit0
+        & F.col("bits1").isNotNull()
+        & bit1
+    )
+    exact_hit = F.col("exact").isNotNull()
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_kgrams"),
+        F.sum(F.when(bloom_hit, 1).otherwise(0)).cast("long").alias("n_bloom"),
+        F.sum(F.when(exact_hit, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.sum(F.when(bloom_hit & ~exact_hit, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q105: DETERMINISTIC CORPUS SHUFFLE — pretraining needs the corpus in a
+# reproducible pseudo-random global order, but a global ORDER BY is a
+# single-sort bottleneck at 100 TB. The scalable equivalent is
+# two-level: the md5 order key's HIGH BITS are the shard (so shard is a
+# prefix of the global order), ranks are computed within each shard, and
+# shard sizes (a <=SHARDS-row agg) are cumulated into offsets;
+# global_pos = shard_offset + in-shard rank. The oracle PROVES the
+# two-level result equals the true global ROW_NUMBER over the corpus.
+# Scale shape: ONE corpus shuffle (keyed on shard) + an in-shard sort;
+# the offset table is tiny and broadcast. No single-partition window,
+# no global sort.
+_Q105_SHARDS = 64
+_Q105_SPAN = (1 << 32) // _Q105_SHARDS
+
+
+def _q105_h_sql(col: str) -> str:
+    return f"CAST(('0x' || SUBSTRING(md5(CAST({col} AS VARCHAR)), 1, 8)) AS UBIGINT)"
+
+
+_Q105_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_q105_h_sql("doc_id")} AS hk FROM documents
+)
+SELECT doc_id,
+       CAST(hk // {_Q105_SPAN} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT)
+         AS global_pos
+FROM h
+"""
+
+
+@register("q105_deterministic_shuffle", oracle=_Q105_ORACLE)
+def q105_deterministic_shuffle(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    hk = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    h = docs.select("doc_id", hk.alias("hk"), F.floor(hk / _Q105_SPAN).cast("int").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    # the ranked frame is materialized ONCE (checkpoint_memo): its two
+    # consumers (shard-size agg, offset join) are sibling subtrees, and
+    # AQE does not reuse exchanges across siblings (the repo-wide q68
+    # finding) — without it the corpus is scanned, shuffled, and
+    # window-ranked twice. At real scale this materialization IS the
+    # job's output artifact (the shuffled-corpus manifest).
+    from sparkextract.queries.base import checkpoint_memo
+
+    ranked = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q105_ranked",
+        lambda: h.withColumn("rk", F.row_number().over(w).cast("long")),
+    )
+    # shard size == max in-shard rank: derived from ranked, no re-scan
+    sizes = ranked.groupBy("shard").agg(F.max("rk").alias("cnt"))
+    # <=SHARDS rows: the offset cumsum runs on the tiny aggregated grain
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "shard", F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("offset")
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shard",
+        (F.col("offset") + F.col("rk") - 1).alias("global_pos"),
+    )

@@ -352,3 +352,40 @@ def test_q103_statuses(spark):
         "added", "changed", "unchanged"
     }
     checked.unpersist()
+
+
+def test_q104_bloom_no_false_negatives(spark):
+    """Every exact hit is bloom-positive (zero false negatives — the
+    Bloom contract); injected verbatim eval copies are 100% exact;
+    false positives stay under a few percent at the sized m/n."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    out = SPARK_QUERIES["q104_bloom_filter_probe"](spark, SF_DIR).cache()
+    assert out.filter("n_bloom < n_exact").count() == 0
+    assert out.filter("n_false_pos != n_bloom - n_exact").count() == 0
+    inj = out.filter("doc_id >= 3000000")
+    assert inj.count() > 0
+    assert inj.filter("n_exact != n_kgrams").count() == 0
+    tot = out.agg(
+        F.sum("n_kgrams").alias("k"), F.sum("n_false_pos").alias("fp")
+    ).collect()[0]
+    assert tot["fp"] / tot["k"] < 0.05
+    out.unpersist()
+
+
+def test_q105_two_level_equals_global_order(spark):
+    """global_pos is a permutation of 0..N-1, shard boundaries respect the
+    global order (shard is a prefix of the order key), and the order is
+    reproducible run-to-run."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["q105_deterministic_shuffle"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert sorted(r["global_pos"] for r in rows) == list(range(n))
+    by_pos = sorted(rows, key=lambda r: r["global_pos"])
+    shards = [r["shard"] for r in by_pos]
+    assert shards == sorted(shards)  # shard never decreases along the order
+    again = SPARK_QUERIES["q105_deterministic_shuffle"](spark, SF_DIR).collect()
+    assert {r["doc_id"]: r["global_pos"] for r in rows} == {
+        r["doc_id"]: r["global_pos"] for r in again
+    }

@@ -621,6 +621,8 @@ _FRONT = [
     "q103_snapshot_diff",
     "q104_bloom_filter_probe",
     "q105_deterministic_shuffle",
+    "q106_incremental_extraction",
+    "q107_lsh_recall_eval",
     "q92_citation_assembly",
     "q93_query_expansion",
     "q94_corpus_clean_pipeline",

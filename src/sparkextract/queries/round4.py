@@ -1389,3 +1389,160 @@ def q105_deterministic_shuffle(spark, sf_dir):
         "shard",
         (F.col("offset") + F.col("rk") - 1).alias("global_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# q106: INCREMENTAL EXTRACTION (CDC -> EXTRACT) — the composition the
+# q103 diff exists for: ONLY docs the snapshot diff marks
+# needs_extraction (added + changed) re-enter the real extraction
+# pipeline; unchanged docs never leave the lake. Mirrors q94's
+# composition proof for the incremental path, and the reference's
+# skip-if-ingested resume (/root/reference/src/rag/rag_pipeline.py:
+# 97-105) at content grain. Span counts are SQL-derivable from the q95
+# passthrough property of the interleaved wrap (1 text span iff
+# n_chars >= 100, 1 media span iff doc_id % 3 == 0, never a table
+# span on this corpus).
+# Scale shape: the diff is map-only (q103); the extraction runs over
+# the needs_extraction SUBSET only; the status join is one keyed
+# equi-join on doc_id. Nothing touches the unchanged majority.
+_Q106_ORACLE = f"""
+WITH status AS (
+  SELECT doc_id,
+         CASE WHEN {md5_bucket_sql("doc_id", _Q103_BUCKETS)} = 0 THEN 'added'
+              ELSE 'changed' END AS status,
+         n_chars
+  FROM documents
+  WHERE {md5_bucket_sql("doc_id", _Q103_BUCKETS)} IN (0, 1)
+)
+SELECT doc_id, status,
+       CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS span_count
+FROM status
+"""
+
+
+@register("q106_incremental_extraction", oracle=_Q106_ORACLE)
+def q106_incremental_extraction(spark, sf_dir):
+    from sparkextract.queries.extraction import wrap_docs
+    from sparkextract.spark.job import extract_exploded
+
+    diff = q103_snapshot_diff(spark, sf_dir)
+    todo = diff.filter("needs_extraction").select("doc_id", "status")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ext_in = docs.join(todo.select("doc_id"), "doc_id")
+    spans = extract_exploded(wrap_docs(ext_in))
+    counts = spans.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count("*").alias("span_count")
+    )
+    # left join from the todo list: a doc whose extraction yields ZERO
+    # spans (short text, no media) still belongs in the change manifest
+    return todo.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "status",
+        F.coalesce("span_count", F.lit(0)).cast("long").alias("span_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q107: LSH PRECISION/RECALL EVAL — the quality harness every
+# approximate-dedup deployment needs: banded-LSH candidate pairs (q53)
+# are scored against EXACT all-pairs cosine ground truth on a bounded
+# evaluation subset (the standard sampled-ground-truth protocol: exact
+# all-pairs is O(S^2) and runs only on the sample, exactly like q50's
+# ANN recall query set). The subset is base vec_id < 250 of q53's
+# corpus INCLUDING its injected perturbed twins (+1,000,000 ids,
+# first coordinate +0.25 — dedup2.py:236-247; the natural corpus has
+# zero >=0.8 pairs, measured) so both precision and recall are
+# exercised against real positives.
+# Scale shape: the q53 candidate side keeps its banded shape; the
+# exact side is a broadcast self-join of the <=S+S/7-row sample.
+_Q107_SUB = 250
+
+_Q107_ORACLE = f"""
+WITH sub AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < {_Q107_SUB}
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, 65),
+           i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.25
+                     ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < {_Q107_SUB}
+),
+truth AS (
+  SELECT x.vec_id AS l, y.vec_id AS r
+  FROM sub x JOIN sub y ON x.vec_id < y.vec_id
+  WHERE ROUND(
+    list_sum(list_transform(range(1, 65), i -> x.e[i] * y.e[i]))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> x.e[i] * x.e[i])))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> y.e[i] * y.e[i])))),
+    6) >= 0.8
+),
+cand AS (
+  SELECT left_id AS l, right_id AS r FROM ({{Q53}}) _q53
+  WHERE left_id % 1000000 < {_Q107_SUB} AND right_id % 1000000 < {_Q107_SUB}
+),
+hit AS (SELECT t.l, t.r FROM truth t JOIN cand c ON t.l = c.l AND t.r = c.r)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS precision,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS recall
+"""
+
+
+def _q107_oracle() -> str:
+    from sparkextract.queries.dedup2 import _Q53_ORACLE
+
+    return _Q107_ORACLE.replace("{Q53}", _Q53_ORACLE)
+
+
+@register("q107_lsh_recall_eval", oracle=_q107_oracle())
+def q107_lsh_recall_eval(spark, sf_dir):
+    from sparkextract.queries.dedup2 import (
+        _banded_corpus,
+        q53_banded_lsh_near_dup,
+    )
+    from sparkextract.queries.vector import _dot, _norm
+
+    sub = _banded_corpus(spark, sf_dir).filter(
+        F.col("vec_id") % 1000000 < _Q107_SUB
+    )
+    x = sub.select(F.col("vec_id").alias("l"), F.col("e").alias("ex"))
+    y = sub.select(F.col("vec_id").alias("r"), F.col("e").alias("ey"))
+    cos = F.round(
+        _dot(F.col("ex"), F.col("ey")) / (_norm(F.col("ex")) * _norm(F.col("ey"))),
+        6,
+    )
+    truth = (
+        x.join(F.broadcast(y), F.col("l") < F.col("r"))
+        .filter(cos >= 0.8)
+        .select("l", "r")
+    )
+    cand = q53_banded_lsh_near_dup(spark, sf_dir).filter(
+        (F.col("left_id") % 1000000 < _Q107_SUB)
+        & (F.col("right_id") % 1000000 < _Q107_SUB)
+    ).select(F.col("left_id").alias("l"), F.col("right_id").alias("r"))
+    hit = truth.join(cand, ["l", "r"])
+    counts = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+    )
+    return counts.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double")
+            / F.greatest(F.col("n_candidates"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_truth"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )

@@ -389,3 +389,38 @@ def test_q105_two_level_equals_global_order(spark):
     assert {r["doc_id"]: r["global_pos"] for r in rows} == {
         r["doc_id"]: r["global_pos"] for r in again
     }
+
+
+def test_q106_only_changed_docs_extracted(spark):
+    """Every output doc is added/changed; unchanged docs are absent; span
+    counts obey the passthrough property."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+    from sparkextract.queries.base import md5_bucket
+    from sparkextract.queries.round4 import _Q103_BUCKETS
+
+    out = SPARK_QUERIES["q106_incremental_extraction"](spark, SF_DIR)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    joined = out.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "b", md5_bucket(F.col("doc_id"), _Q103_BUCKETS)
+    ).cache()
+    assert joined.filter("b NOT IN (0, 1)").count() == 0
+    assert joined.filter("(b = 0) != (status = 'added')").count() == 0
+    expect = F.when(F.col("n_chars") >= 100, 1).otherwise(0) + F.when(
+        F.col("doc_id") % 3 == 0, 1
+    ).otherwise(0)
+    assert joined.filter(F.col("span_count") != expect).count() == 0
+    joined.unpersist()
+
+
+def test_q107_recall_bounds(spark):
+    """Candidates are a subset of truth (q53 post-verifies with the exact
+    cosine filter, so precision is 1.0 by construction); recall is high
+    on the injected twins and within [0, 1]."""
+    from sparkextract.queries.registry import SPARK_QUERIES
+
+    r = SPARK_QUERIES["q107_lsh_recall_eval"](spark, SF_DIR).collect()[0]
+    assert r["n_truth"] > 0
+    assert r["n_hit"] <= min(r["n_truth"], r["n_candidates"])
+    assert r["precision"] == 1.0
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["recall"] > 0.5

@@ -1428,18 +1428,24 @@ def q106_incremental_extraction(spark, sf_dir):
     from sparkextract.spark.job import extract_exploded
 
     diff = q103_snapshot_diff(spark, sf_dir)
-    todo = diff.filter("needs_extraction").select("doc_id", "status")
+    todo = diff.filter("needs_extraction").select("doc_id")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ext_in = docs.join(todo.select("doc_id"), "doc_id")
+    ext_in = docs.join(todo, "doc_id")
     spans = extract_exploded(wrap_docs(ext_in))
     counts = spans.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
         F.count("*").alias("span_count")
     )
     # left join from the todo list: a doc whose extraction yields ZERO
-    # spans (short text, no media) still belongs in the change manifest
+    # spans (short text, no media) still belongs in the change manifest.
+    # status is functionally dependent on doc_id (the q103 bucket rule),
+    # so it is re-derived map-side here instead of joining the diff a
+    # second time — one fewer pass over both snapshot subtrees.
+    status = F.when(
+        md5_bucket(F.col("doc_id"), _Q103_BUCKETS) == 0, F.lit("added")
+    ).otherwise(F.lit("changed"))
     return todo.join(counts, "doc_id", "left").select(
         "doc_id",
-        "status",
+        status.alias("status"),
         F.coalesce("span_count", F.lit(0)).cast("long").alias("span_count"),
     )
 
@@ -1517,15 +1523,30 @@ def q107_lsh_recall_eval(spark, sf_dir):
         _dot(F.col("ex"), F.col("ey")) / (_norm(F.col("ex")) * _norm(F.col("ey"))),
         6,
     )
-    truth = (
-        x.join(F.broadcast(y), F.col("l") < F.col("r"))
+    # the three count aggregates below each re-evaluate their subtree
+    # (hit references both), so the sample-sized truth and candidate
+    # frames are materialized once (checkpoint_memo)
+    from sparkextract.queries.base import checkpoint_memo
+
+    truth = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q107_truth",
+        lambda: x.join(F.broadcast(y), F.col("l") < F.col("r"))
         .filter(cos >= 0.8)
-        .select("l", "r")
+        .select("l", "r"),
     )
-    cand = q53_banded_lsh_near_dup(spark, sf_dir).filter(
-        (F.col("left_id") % 1000000 < _Q107_SUB)
-        & (F.col("right_id") % 1000000 < _Q107_SUB)
-    ).select(F.col("left_id").alias("l"), F.col("right_id").alias("r"))
+    cand = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q107_cand",
+        lambda: q53_banded_lsh_near_dup(spark, sf_dir)
+        .filter(
+            (F.col("left_id") % 1000000 < _Q107_SUB)
+            & (F.col("right_id") % 1000000 < _Q107_SUB)
+        )
+        .select(F.col("left_id").alias("l"), F.col("right_id").alias("r")),
+    )
     hit = truth.join(cand, ["l", "r"])
     counts = (
         truth.agg(F.count("*").alias("n_truth"))

@@ -45,35 +45,53 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-# (applicationId, sf_dir, tag)-keyed eager-localCheckpoint memo — the
-# shared form of dedup2's _Q68_SIGS_MEMO / round3's _COMPONENTS_MEMO
-# discipline: an intermediate frame referenced by several subtrees is
-# materialized ONCE per (session, input) instead of recomputed per
-# subtree (ReuseExchange does not fire across sibling subtrees under
-# AQE, and lazy checkpoints still recompute lineage on both sides of a
-# self-join — measured 16x slower on q68). Assumes data under sf_dir is
-# immutable for the session's lifetime (true for the driver's testdata;
-# a test rewriting a tmp dir in-session must use a fresh dir).
-# FIFO-bounded; eviction unpersists the checkpoint blocks.
-_CKPT_MEMO: dict[tuple[str, str, str], DataFrame] = {}
-_CKPT_MEMO_CAP = 8
+def input_token(sf_dir: str) -> str:
+    """Content token for memo keys: (name, size, mtime) of every parquet
+    file under ``sf_dir``. A caller that rewrites the input in place under
+    the same session then misses the memo instead of reading stale
+    checkpointed data. Cost: one os.walk over a handful of files."""
+    parts = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    st = os.stat(os.path.join(root, f))
+                except OSError:
+                    continue
+                parts.append((os.path.join(root, f), st.st_size, st.st_mtime_ns))
+    import hashlib
+
+    return hashlib.md5(repr(sorted(parts)).encode()).hexdigest()[:16]
+
+
+# (applicationId, input_token, sf_dir, tag)-keyed eager-localCheckpoint
+# memo — the shared form of dedup2's _Q68_SIGS_MEMO / round3's
+# _COMPONENTS_MEMO discipline: an intermediate frame referenced by
+# several subtrees is materialized ONCE per (session, input) instead of
+# recomputed per subtree (ReuseExchange does not fire across sibling
+# subtrees under AQE, and lazy checkpoints still recompute lineage on
+# both sides of a self-join — measured 16x slower on q68). The input
+# token invalidates entries if the parquet under sf_dir is rewritten
+# in-session. FIFO-bounded far above the live tag count (an evicted
+# entry's localCheckpoint blocks are NOT reclaimable via unpersist();
+# reclamation relies on ContextCleaner GC of the dropped reference, so
+# a returned frame must be fully consumed before ~CAP later memo
+# inserts — at CAP=64 that is never hit by the query surface).
+_CKPT_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
+_CKPT_MEMO_CAP = 64
 
 
 def checkpoint_memo(spark: SparkSession, sf_dir: str, tag: str, build):
     """Return ``build()`` materialized via eager ``localCheckpoint()``,
-    memoized per (session, sf_dir, tag). The build-time Spark job is the
-    documented cost (PLANS.md notes it for q68/q71); the memo keeps it
-    to once per session+input."""
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    memoized per (session, input-content, tag). The build-time Spark job
+    is the documented cost (PLANS.md notes it for q68/q71); the memo
+    keeps it to once per session+input."""
+    key = (spark.sparkContext.applicationId, input_token(sf_dir), sf_dir, tag)
     df = _CKPT_MEMO.get(key)
     if df is None:
         df = build().localCheckpoint()
         while len(_CKPT_MEMO) >= _CKPT_MEMO_CAP:
-            evicted = _CKPT_MEMO.pop(next(iter(_CKPT_MEMO)))
-            try:
-                evicted.unpersist()
-            except Exception:
-                pass  # session already stopped; JVM refs are gone anyway
+            _CKPT_MEMO.pop(next(iter(_CKPT_MEMO)))
         _CKPT_MEMO[key] = df
     return df
 

@@ -125,7 +125,10 @@ def q69_field_groups(spark, sf_dir):
     itself crosses into Python (Arrow-batched, as everywhere)."""
     from sparkextract.spark.job import extract_exploded
 
-    out = extract_exploded(_q69_docs(spark, sf_dir))
+    # _q69_docs wraps every doc as exactly ONE input span, so the mega-doc
+    # split can never trigger; skew_threshold=None skips the small/mega
+    # source split and its second parquet scan (PLANS.md showed 2 scans)
+    out = extract_exploded(_q69_docs(spark, sf_dir), skew_threshold=None)
     fields = out.filter(F.col("kind") == "form").select(
         F.explode(F.split("text", "\n")).alias("line")
     )
@@ -238,17 +241,18 @@ FROM (
 
 # the propagation loop runs actions eagerly (convergence tests), so when
 # q71 and q72 share one session+input (the panel view unions both) the
-# localCheckpoint()ed fixed point is reused instead of recomputed.
-# ASSUMPTION: the parquet under sf_dir is immutable for the lifetime of a
-# (session, sf_dir) pair — true for the driver contract and every test
-# (tmp dirs are written once, then read). A caller that rewrites data in
-# place under the same session must pop the key or use a fresh dir.
+# localCheckpoint()ed fixed point is reused instead of recomputed. The
+# key carries an input-content token (file names/sizes/mtimes), so a
+# caller that rewrites the parquet under sf_dir in-session gets fresh
+# components instead of stale checkpointed labels (round-3 ADVICE item;
+# regression-tested in test_round5.py).
 # FIFO-bounded: entries for stopped sessions would otherwise pin dead
 # DataFrame/JVM-gateway references for the process lifetime (pytest and
 # repeated driver rounds run many sessions in one process); eviction
-# unpersists the checkpointed blocks so storage doesn't accumulate.
-_COMPONENTS_MEMO: dict[tuple[str, str], object] = {}
-_COMPONENTS_MEMO_CAP = 4
+# drops the reference and leaves block reclamation to ContextCleaner GC
+# (localCheckpoint blocks are not unpersist()-able).
+_COMPONENTS_MEMO: dict[tuple[str, str, str], object] = {}
+_COMPONENTS_MEMO_CAP = 8
 
 
 def label_propagation(pair_df):
@@ -291,17 +295,15 @@ def label_propagation(pair_df):
 
 
 def _dup_components(spark, sf_dir):
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    from sparkextract.queries.base import input_token
+
+    memo_key = (spark.sparkContext.applicationId, input_token(sf_dir), sf_dir)
     cached = _COMPONENTS_MEMO.get(memo_key)
     if cached is not None:
         return cached
     labels = label_propagation(q53_banded_lsh_near_dup(spark, sf_dir))
     while len(_COMPONENTS_MEMO) >= _COMPONENTS_MEMO_CAP:
-        evicted = _COMPONENTS_MEMO.pop(next(iter(_COMPONENTS_MEMO)))
-        try:
-            evicted.unpersist()
-        except Exception:
-            pass  # session already stopped; JVM refs are gone anyway
+        _COMPONENTS_MEMO.pop(next(iter(_COMPONENTS_MEMO)))
     _COMPONENTS_MEMO[memo_key] = labels
     return labels
 

@@ -491,13 +491,21 @@ _Q95_DONE: set[tuple[str, str]] = set()
 
 
 def _q95_root(spark, sf_dir: str) -> str:
+    import glob
     import hashlib
+    import shutil
     import tempfile
 
     key = hashlib.md5(
         (spark.sparkContext.applicationId + "|" + sf_dir).encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"sparkextract_q95_{key}")
+    root = os.path.join(tempfile.gettempdir(), f"sparkextract_q95_{key}")
+    # reap sibling roots left by earlier sessions (each session otherwise
+    # leaks one extraction-output tree in /tmp forever — round-4 ADVICE)
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "sparkextract_q95_*")):
+        if stale != root:
+            shutil.rmtree(stale, ignore_errors=True)
+    return root
 
 
 @register("q95_manifest_resume_state", oracle=_Q95_ORACLE)
@@ -547,10 +555,16 @@ def q95_manifest_resume_state(spark, sf_dir):
 # (/root/reference/src/rag/text_processor.py:534) pushed from chunk
 # grain down to fixed-token-block grain.
 # Scale shape: block generation is doc-local (transform over the token
-# array, q88's no-shuffle lesson); the only shuffles are the
-# first-occurrence window keyed on block hash (each hash partition is a
-# handful of rows) and the per-doc rollup on doc_id — both
-# key-partitioned, nothing quadratic, the 100 TB C4 shape.
+# array, q88's no-shuffle lesson). First-occurrence is a MAP-SIDE-
+# COMBINABLE min — groupBy(block_hash).agg(min(struct(doc_id,
+# block_idx, block))) — NOT a window over the content hash: on a real
+# web corpus ultra-common boilerplate blocks make content-hash keys
+# heavy, and a window (unlike a partial agg) shuffles EVERY row of a
+# hot key to one task; the min-agg ships one partial row per map task
+# regardless of how many billion times a block repeats (round-4 VERDICT
+# item 1). The per-doc rollup then runs on the FIRSTS table only (one
+# row per distinct block) and joins back to doc-local totals on the
+# uniform doc_id key. Nothing quadratic, no hot-key concentration.
 _Q96_BLOCK = 8
 
 _Q96_ORACLE = f"""
@@ -602,25 +616,44 @@ def q96_block_dedup(spark, sf_dir):
     exploded = docs.select(
         "doc_id", F.posexplode(blocks).alias("block_idx", "block")
     )
-    w = Window.partitionBy(F.md5("block")).orderBy("doc_id", "block_idx")
-    marked = exploded.withColumn("kept", F.row_number().over(w) == 1)
-    kept_sorted = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("kept"),
-                    F.struct(F.col("block_idx").alias("i"), F.col("block").alias("b")),
-                )
-            )
-        ),
-        lambda s: s["b"],
+    # first occurrence of each block = min(struct(doc_id, block_idx)) —
+    # struct comparison is lexicographic, exactly the oracle's ORDER BY
+    # doc_id, block_idx; (doc_id, block_idx) is unique so the trailing
+    # block field never decides. min() partial-aggregates map-side: a
+    # block repeated 10^9 times contributes ONE row per map task to the
+    # shuffle, where the previous row_number() window shipped all 10^9.
+    firsts = (
+        exploded.groupBy(F.md5("block").alias("bh"))
+        .agg(F.min(F.struct("doc_id", "block_idx", "block")).alias("f"))
+        .select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.block_idx").alias("i"),
+            F.col("f.block").alias("b"),
+        )
     )
-    n_kept = F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long")
-    return marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_blocks"),
+    # kept rollup runs on the firsts table (one row per DISTINCT block)
+    kept_per_doc = firsts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "b"))), lambda s: s["b"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    # doc-local totals (no shuffle until the final uniform doc_id join);
+    # docs whose every block first occurred elsewhere keep n_kept=0 and
+    # hash the empty string, matching the oracle's COALESCE('')
+    doc_stats = docs.select(
+        "doc_id", F.size(blocks).cast("long").alias("n_blocks")
+    ).filter(F.col("n_blocks") >= 1)
+    n_kept = F.coalesce("n_kept", F.lit(0)).cast("long")
+    return doc_stats.join(kept_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
         n_kept.alias("n_kept"),
-        F.round(n_kept.cast("double") / F.count("*"), 6).alias("kept_frac"),
-        F.md5(F.array_join(kept_sorted, " ")).alias("kept_text_md5"),
+        F.round(n_kept.cast("double") / F.col("n_blocks"), 6).alias("kept_frac"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_text_md5"),
     )
 
 
@@ -794,13 +827,22 @@ def q98_domain_rollup(spark, sf_dir):
 # set) with corpus vs itself. The full suffix-array construction is
 # replaced by the standard scalable approximation: overlapping K-token
 # window hashes + a corpus-wide document-frequency count.
-# Scale shape: window generation is doc-local (stride 1, linear); the
-# cross-doc count is a COUNT(*) OVER (PARTITION BY kh) analytic on the
-# SAME frame — one kh-keyed shuffle, ONE corpus scan (a groupBy+join
-# formulation reads and re-tokenizes the corpus twice, PLANS.md-verified)
-# — then the per-doc rollup shuffles on doc_id. Each kh partition is a
-# handful of rows, so the window never concentrates data. Nothing
-# quadratic, no self-join of the corpus.
+# Scale shape: window generation is doc-local (stride 1, linear). The
+# (doc_id, kh) window table is materialized ONCE (checkpoint_memo — the
+# analog of Lee et al.'s materialized suffix/window table) and every
+# aggregate derives from it:
+#   n_windows per doc  = groupBy(doc_id).count()            (uniform key)
+#   unique windows     = groupBy(kh).agg(count, min(doc))    (map-side
+#                        combinable partial agg — a boilerplate window
+#                        shared by 10^9 docs ships ONE partial row per
+#                        map task, never 10^9 rows to one task)
+#   n_dup per doc      = n_windows - n_uniq  (c==1 khs name their only
+#                        doc via min(doc_id), so uniqueness folds back
+#                        to the doc without re-shuffling the corpus)
+# The previous COUNT(*) OVER (PARTITION BY kh) analytic shuffled every
+# row of a hot content-hash key to a single task — the one audited plan
+# that degraded on a realistically skewed corpus (round-4 VERDICT item
+# 1). Nothing quadratic, no self-join, no hot-key concentration.
 _Q99_K = 20
 _Q99_FLAG_FRAC = 0.5
 
@@ -832,16 +874,35 @@ GROUP BY doc_id
 
 @register("q99_exact_substring_dedup", oracle=_Q99_ORACLE)
 def q99_exact_substring_dedup(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    wk = _kgram_hashes(docs, _Q99_K)
-    counted = wk.withColumn(
-        "n_docs", F.count("*").over(Window.partitionBy("kh"))
+    from sparkextract.queries.base import checkpoint_memo
+
+    # the window table feeds two aggregates; materialize it once instead
+    # of re-tokenizing the corpus per subtree (at real scale this is the
+    # window-table write every ExactSubstr pipeline performs anyway)
+    wk = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q99_wk",
+        lambda: _kgram_hashes(
+            load(spark, sf_dir, "documents").select("doc_id", "text"), _Q99_K
+        ),
     )
-    dup1 = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
-    frac = F.round(F.sum(dup1).cast("double") / F.count("*"), 6)
-    return counted.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"),
-        F.sum(dup1).cast("long").alias("n_dup"),
+    n_win = wk.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    # a kh is unique iff exactly one (doc_id, kh) row exists; min(doc_id)
+    # then IS that row's doc — both aggregates partial-combine map-side
+    uniq_per_doc = (
+        wk.groupBy("kh")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_uniq"))
+    )
+    n_dup = (F.col("n_windows") - F.coalesce("n_uniq", F.lit(0))).cast("long")
+    frac = F.round(n_dup.cast("double") / F.col("n_windows"), 6)
+    return n_win.join(uniq_per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        n_dup.alias("n_dup"),
         frac.alias("dup_frac"),
         (frac > _Q99_FLAG_FRAC).alias("flagged"),
     )

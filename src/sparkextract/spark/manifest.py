@@ -98,8 +98,11 @@ def run_extraction_job(
     """One resumable run: anti-join manifest → extract → write → commit.
 
     ``fail_after_buckets`` simulates a mid-job crash for the resume test:
-    only the first N buckets (by id) get manifest rows, mimicking a run
-    killed between data write and full commit.
+    only buckets with ``doc_id_bucket < fail_after_buckets`` get manifest
+    rows, mimicking a run killed between data write and full commit. The
+    rule is deterministic on the bucket ID (not on which buckets happen to
+    be non-empty), so an oracle can reproduce the run split exactly even
+    if some low bucket were empty at a tiny scale factor.
 
     Returns run metrics (docs/spans/tables processed, wall seconds).
     """
@@ -170,11 +173,7 @@ def run_extraction_job(
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
     if fail_after_buckets is not None:
-        keep = [
-            r[0]
-            for r in sorted(stats.select("doc_id_bucket").collect())[:fail_after_buckets]
-        ]
-        stats = stats.filter(F.col("doc_id_bucket").isin(keep))
+        stats = stats.filter(F.col("doc_id_bucket") < fail_after_buckets)
 
     stats.coalesce(1).write.mode("append").parquet(_manifest_dir(root))
 

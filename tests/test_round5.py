@@ -1,0 +1,172 @@
+"""Round-5 hardening tests: hot-key de-skew semantics for the
+content-hash dedup operators (q96/q99 — round-4 VERDICT item 1), memo
+staleness under in-session input rewrite (round-3 ADVICE, fixed via
+input_token), label-propagation convergence on a pathological long
+chain, and the deterministic fail_after_buckets rule."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkextract.spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("sparkextract-r5-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def _write_docs(spark, rows, path):
+    spark.createDataFrame(rows, "doc_id long, text string, n_chars long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+
+
+def test_q96_hot_block_corpus(spark, tmp_path):
+    """One 8-token block occupies ~50% of a synthetic corpus: the
+    map-side-combinable first-occurrence agg must keep exactly one copy
+    (lowest doc_id, lowest block_idx) and every other doc reports it as
+    a duplicate block."""
+    from sparkextract.queries.round4 import _Q96_BLOCK, q96_block_dedup
+
+    hot = " ".join(["hot"] * _Q96_BLOCK)
+    rows = []
+    for d in range(40):
+        uniq = " ".join(f"d{d}w{i}" for i in range(_Q96_BLOCK))
+        # every doc: [hot block][unique block] -> hot is 50% of all blocks
+        rows.append((d, f"{hot} {uniq}", 0))
+    root = str(tmp_path / "hot96")
+    _write_docs(spark, rows, root)
+    out = {r["doc_id"]: r for r in q96_block_dedup(spark, root).collect()}
+    assert len(out) == 40
+    # doc 0 keeps both blocks; every other doc keeps only its unique block
+    assert out[0]["n_kept"] == 2 and out[0]["kept_frac"] == 1.0
+    for d in range(1, 40):
+        assert out[d]["n_blocks"] == 2
+        assert out[d]["n_kept"] == 1
+        assert out[d]["kept_frac"] == 0.5
+
+
+def test_q99_hot_window_corpus(spark, tmp_path):
+    """A 20-token window shared by EVERY doc (the boilerplate case that
+    melts a content-hash window at scale): each doc's shared windows are
+    dup, its unique tail windows are not, and a doc that is pure
+    boilerplate is flagged."""
+    from sparkextract.queries.round4 import _Q99_K, q99_exact_substring_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(_Q99_K))
+    rows = [(0, boiler, 0)]  # pure boilerplate: dup_frac 1.0 -> flagged
+    for d in range(1, 30):
+        tail = " ".join(f"d{d}t{i}" for i in range(_Q99_K))
+        rows.append((d, f"{boiler} {tail}", 0))
+    root = str(tmp_path / "hot99")
+    _write_docs(spark, rows, root)
+    out = {r["doc_id"]: r for r in q99_exact_substring_dedup(spark, root).collect()}
+    assert out[0]["n_windows"] == 1 and out[0]["dup_frac"] == 1.0
+    assert out[0]["flagged"]
+    for d in range(1, 30):
+        r = out[d]
+        # 2K tokens -> K+1 windows; only the leading all-boiler window is
+        # shared across docs, the K windows touching the unique tail are not
+        assert r["n_windows"] == _Q99_K + 1
+        assert r["n_dup"] == 1
+        assert not r["flagged"]
+
+
+def test_checkpoint_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Rewriting the parquet under the same dir in one session must MISS
+    the memo (input_token keys on file size/mtime), not serve stale
+    checkpointed data."""
+    from sparkextract.queries.base import checkpoint_memo, load
+
+    root = str(tmp_path / "memo")
+    _write_docs(spark, [(1, "alpha", 0)], root)
+    build = lambda: load(spark, root, "documents").select("doc_id", "text")
+    first = checkpoint_memo(spark, root, "t", build).collect()
+    assert [r["text"] for r in first] == ["alpha"]
+    shutil.rmtree(os.path.join(root, "documents.parquet"))
+    _write_docs(spark, [(1, "beta", 0)], root)
+    second = checkpoint_memo(spark, root, "t", build).collect()
+    assert [r["text"] for r in second] == ["beta"]
+
+
+def test_components_memo_invalidates_on_rewrite(spark, tmp_path):
+    """_dup_components must recompute after the embeddings table under the
+    same sf_dir is rewritten in-session (round-3 ADVICE staleness item)."""
+    from sparkextract.queries.round3 import _dup_components
+
+    root = str(tmp_path / "comp")
+
+    def write_embeddings(n):
+        # identical unit vectors: every pair is cosine 1.0 and co-buckets
+        # under any LSH banding -> one all-member cluster per corpus
+        rows = [
+            (int(i), [1.0] + [0.0] * 63, int(i % 3)) for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "embeddings.parquet")
+        )
+
+    write_embeddings(8)
+    a = _dup_components(spark, root).count()
+    shutil.rmtree(os.path.join(root, "embeddings.parquet"))
+    write_embeddings(16)
+    b = _dup_components(spark, root).count()
+    # the second run must see the larger corpus (more clustered nodes),
+    # not the stale checkpointed labels of the first
+    assert a > 0
+    assert b > a
+
+
+def test_label_propagation_long_chain(spark):
+    """A 25-node path graph (diameter 24) must converge to one component
+    within the iteration bound — the pathological-chain guard."""
+    from sparkextract.queries.round3 import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "left_id long, right_id long"
+    )
+    labels = label_propagation(pairs)
+    got = {r["lbl"] for r in labels.collect()}
+    assert got == {0}
+    assert labels.count() == 25
+
+
+def test_label_propagation_bound_raises(spark):
+    """A chain longer than the 30-iteration bound can cover must fail
+    loudly, never silently return partial labels."""
+    from sparkextract.queries.round3 import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "left_id long, right_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(pairs)
+
+
+def test_fail_after_buckets_is_bucket_id_rule(spark, tmp_path):
+    """fail_after_buckets commits exactly the buckets with id < N —
+    deterministic on the bucket ID, independent of which buckets happen
+    to be populated (round-4 ADVICE: the oracle derives run_seq from
+    this rule)."""
+    from sparkextract.schema import DOC_SCHEMA
+    from sparkextract.spark.manifest import read_manifest, run_extraction_job
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", [{"kind": "text", "text": "x" * 120, "media_ref": None, "offset": 0}])
+         for i in range(64)],
+        schema=DOC_SCHEMA,
+    )
+    root = str(tmp_path / "failrule")
+    run_extraction_job(spark, docs, root, run_id="r1", num_buckets=8,
+                       fail_after_buckets=3)
+    m = read_manifest(spark, root).filter(F.col("status") == "done")
+    got = sorted(r["doc_id_bucket"] for r in m.collect())
+    assert all(b < 3 for b in got)

@@ -76,8 +76,11 @@ HEADLINE = [
     "q87_lm_quality_score",
     "q88_pmi_cooccurrence",
     "q91_ngram_decontamination",
+    "q94_corpus_clean_pipeline",
     "q96_block_dedup",
     "q99_exact_substring_dedup",
+    "q104_bloom_filter_probe",
+    "q105_deterministic_shuffle",
 ]
 
 

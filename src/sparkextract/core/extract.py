@@ -28,6 +28,7 @@ from typing import Iterable, Mapping
 from sparkextract import config
 from sparkextract.core.boilerplate import extract_html
 from sparkextract.core.normalize import md5_hex, normalize_text
+from sparkextract.core.ocr import pseudo_ocr_text
 from sparkextract.core.segment import chunk_text
 from sparkextract.core.tables import parse_pdf_layout, render_form, render_table
 
@@ -53,9 +54,13 @@ def extract_input_span(
         sub += 1
 
     if kind == config.IN_MEDIA:
-        # media passes through: kind='image_ocr', media_ref preserved
-        # verbatim (FIXTURES.md F2; reference src/image_extractor.py:56-70)
-        emit(config.KIND_IMAGE, None, media_ref)
+        # media decode: media_ref preserved verbatim (FIXTURES.md F2;
+        # reference src/image_extractor.py:56-70) and deterministic
+        # pseudo-OCR text — derived from the payload hash, routed through
+        # the P7 clean chain — rides in `text`, so image_ocr spans enter
+        # the ordered sequence with content like the reference's OCR
+        # chunks (src/image_extractor.py:337-549, text_processor.py:38-87)
+        emit(config.KIND_IMAGE, pseudo_ocr_text(media_ref), media_ref)
         return items
 
     norm = normalize_text(text)

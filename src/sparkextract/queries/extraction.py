@@ -12,7 +12,8 @@ punctuation-free strings of 48-553 chars, so
   yields the same single span (nav/footer/script boilerplate stripped);
 - payloads < MIN_CHUNK_SIZE yield nothing (P4);
 - every ``media`` input span yields one ``image_ocr`` span with its
-  media_ref verbatim.
+  media_ref verbatim and deterministic pseudo-OCR text (core/ocr.py)
+  derived from md5(media_ref) — reproduced in SQL by :func:`ocr_sql`.
 
 q40/q41 exploit this: the Spark side runs the REAL pipeline
 (mapInPandas extraction on an interleaved corpus built from the documents
@@ -31,7 +32,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkextract.core.ocr import OCR_TEXT_LEN
 from sparkextract.queries.base import load, register
+
+
+def ocr_sql(ref_expr: str) -> str:
+    """DuckDB twin of core/ocr.py pseudo_ocr_text for a media_ref SQL
+    expression — byte-identical to the engine's cleaned OCR output."""
+    return (
+        f"'scan ' || substring(md5({ref_expr}), 1, 8) || ' ' || "
+        f"substring(md5({ref_expr}), 9, 8) || ' page ' || "
+        f"CAST(CAST(('0x' || substring(md5({ref_expr}), 17, 1)) AS UBIGINT)"
+        f" % 10 AS VARCHAR)"
+    )
 
 
 def _routed_kind():
@@ -96,13 +109,13 @@ def wrap_docs(docs: DataFrame) -> DataFrame:
 # expected spans (kind, text, media_ref, offset) — span-sequence equality.
 @register(
     "q40_extract_passthrough",
-    oracle="""
+    oracle=f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, text,
            CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
     FROM documents WHERE n_chars >= 100
     UNION ALL
     SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'image_ocr' AS kind,
-           CAST(NULL AS VARCHAR) AS text,
+           {ocr_sql("'img://' || CAST(doc_id AS VARCHAR) || '/1'")} AS text,
            'img://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
            CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS offset
     FROM documents WHERE doc_id % 3 = 0
@@ -118,11 +131,12 @@ def q40_extract_passthrough(spark, sf_dir):
 # A5/A10 extraction metrics, SQL-derivable for the simple-payload corpus.
 @register(
     "q41_extract_kind_stats",
-    oracle="""
+    oracle=f"""
     WITH spans AS (
       SELECT 'text' AS kind, n_chars AS len FROM documents WHERE n_chars >= 100
       UNION ALL
-      SELECT 'image_ocr' AS kind, NULL AS len FROM documents WHERE doc_id % 3 = 0
+      SELECT 'image_ocr' AS kind, {OCR_TEXT_LEN} AS len
+      FROM documents WHERE doc_id % 3 = 0
     )
     SELECT kind,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -149,7 +163,7 @@ def q41_extract_kind_stats(spark, sf_dir):
 # the SQL-derived expectation. Every doc_id%5==0 doc also contributes a
 # media span, so image_ocr passthrough and the texts-before-images kind
 # ordering (core/extract.py finalize) are verified through the split too.
-_Q42_ORACLE = """
+_Q42_ORACLE = f"""
     WITH contrib AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0
@@ -164,7 +178,7 @@ _Q42_ORACLE = """
       FROM contrib WHERE n_chars >= 100
       UNION ALL
       SELECT out_doc, 1 AS kind_rank, doc_id AS k, 'image_ocr' AS kind,
-             CAST(NULL AS VARCHAR) AS text,
+             {ocr_sql("'img://' || CAST(doc_id AS VARCHAR) || '/m'")} AS text,
              'img://' || CAST(doc_id AS VARCHAR) || '/m' AS media_ref
       FROM contrib WHERE doc_id % 5 = 0
     )
@@ -237,12 +251,14 @@ def q42_extract_mega_skew(spark, sf_dir):
 # chars, and the leading span's kind (ordering witness).
 @register(
     "q43_extract_assembled",
-    oracle="""
+    oracle=f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            CAST((CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
               + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS INT) AS n_spans,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_media,
-           CAST(CASE WHEN n_chars >= 100 THEN n_chars ELSE 0 END AS INT) AS total_chars,
+           CAST((CASE WHEN n_chars >= 100 THEN n_chars ELSE 0 END)
+              + (CASE WHEN doc_id % 3 = 0 THEN {OCR_TEXT_LEN} ELSE 0 END)
+              AS INT) AS total_chars,
            CASE WHEN n_chars >= 100 THEN 'text'
                 WHEN doc_id % 3 = 0 THEN 'image_ocr' END AS first_kind
     FROM documents

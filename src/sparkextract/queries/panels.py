@@ -278,12 +278,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "n_rows": "n_docs", "total_chars": "total_chars"}),
         ],
     ),
-    # multimodal binary-column family: featurize / dedup / frame-sample.
+    # multimodal binary-column family: featurize / dedup / frame-sample /
+    # pseudo-OCR decode (round 5).
     "panel_media": (
         [("media_id", "string"), ("media_type", "string"), ("n_bytes", "long"),
          ("content_hash", "string"), ("decode_ok", "boolean"),
          ("feature_sum", "double"), ("frame_idx", "int"),
-         ("n_frame_bytes", "int"), ("frame_hash", "string")],
+         ("n_frame_bytes", "int"), ("frame_hash", "string"),
+         ("ocr_text", "string"), ("n_ocr_chars", "int")],
         [
             ("featurize", "q44_media_featurize",
              {"media_id": "media_id", "media_type": "media_type",
@@ -295,6 +297,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("frames", "q59_frame_sample",
              {"media_id": "media_id", "frame_idx": "frame_idx",
               "n_frame_bytes": "n_frame_bytes", "frame_hash": "frame_hash"}),
+            ("ocr", "q109_media_ocr",
+             {"media_id": "media_id", "media_type": "media_type",
+              "ocr_text": "ocr_text", "n_ocr_chars": "n_ocr_chars"}),
         ],
     ),
     # retrieval compositions: rerank top-k; full kNN->dedup->rerank->budget.
@@ -381,11 +386,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
               "n_keys": "n_keys"}),
         ],
     ),
-    # embedding diagnostics: LSH bucket histogram; per-label quality.
+    # embedding diagnostics: LSH bucket histogram; per-label quality;
+    # int8 quantization fidelity (round 5 absorption).
     "panel_embedding_stats": (
         [("bucket", "int"), ("label", "int"), ("n_vectors", "long"),
          ("min_vec_id", "long"), ("avg_l2", "double"),
-         ("n_zero_components", "long")],
+         ("n_zero_components", "long"), ("vec_id", "long"),
+         ("cos_quant", "double"), ("cos_exact", "double")],
         [
             ("lsh_hist", "q28_lsh_buckets",
              {"bucket": "bucket", "n_vectors": "n_vectors",
@@ -393,6 +400,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("label_quality", "q31_embedding_quality",
              {"label": "label", "n_vectors": "n_vectors", "avg_l2": "avg_l2",
               "n_zero_components": "n_zero_components"}),
+            ("int8_quant", "q102_int8_quantization",
+             {"vec_id": "vec_id", "label": "label",
+              "cos_quant": "cos_quant", "cos_exact": "cos_exact"}),
         ],
     ),
     # keyed event dedup: priority keeper rows; distinct-key seen-set.
@@ -458,7 +468,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         ],
     ),
     # the extraction core through mapInPandas: span passthrough, kind
-    # stats, mega-doc salt/split/reassemble, and doc-grain assembly.
+    # stats, mega-doc salt/split/reassemble, doc-grain assembly, and the
+    # structured-streaming incremental drain (round 5 — full-row checked
+    # against the same passthrough expectation).
     "panel_extract_core": (
         [("doc_id", "string"), ("kind", "string"), ("text", "string"),
          ("media_ref", "string"), ("offset", "int"), ("n_spans", "long"),
@@ -478,6 +490,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"doc_id": "doc_id", "n_spans": "n_spans",
               "n_media": "n_media", "total_chars": "total_chars",
               "first_kind": "first_kind"}),
+            ("streaming", "q108_streaming_incremental",
+             {"doc_id": "doc_id", "kind": "kind", "text": "text",
+              "media_ref": "media_ref", "offset": "offset"}),
         ],
     ),
     # relational headliners: TPC-H-style pricing summary, top revenue,
@@ -529,6 +544,124 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"source": "source", "paged_text": "paged_text"}),
             ("keyword_overlap", "q36_keyword_overlap",
              {"doc_id": "doc_id", "overlap_score": "overlap_score"}),
+        ],
+    ),
+    # contamination family (round-5 consolidation of the round-4
+    # standalones): 13-gram eval-set decontamination, the broadcast
+    # Bloom-probe variant, and the sampled LSH precision/recall eval.
+    "panel_decontamination": (
+        [("doc_id", "long"), ("n_kgrams", "long"), ("n_contam", "long"),
+         ("contam_frac", "double"), ("keep", "boolean"),
+         ("n_bloom", "long"), ("n_exact", "long"), ("n_false_pos", "long"),
+         ("n_truth", "long"), ("n_candidates", "long"), ("n_hit", "long"),
+         ("precision", "double"), ("recall", "double")],
+        [
+            ("ngram_13", "q91_ngram_decontamination",
+             {"doc_id": "doc_id", "n_kgrams": "n_kgrams",
+              "n_contam": "n_contam", "contam_frac": "contam_frac",
+              "keep": "keep"}),
+            ("bloom_probe", "q104_bloom_filter_probe",
+             {"doc_id": "doc_id", "n_kgrams": "n_kgrams",
+              "n_bloom": "n_bloom", "n_exact": "n_exact",
+              "n_false_pos": "n_false_pos"}),
+            ("lsh_eval", "q107_lsh_recall_eval",
+             {"n_truth": "n_truth", "n_candidates": "n_candidates",
+              "n_hit": "n_hit", "precision": "precision",
+              "recall": "recall"}),
+        ],
+    ),
+    # corpus-clean family: the end-to-end extract->quality->dedup
+    # composition plus the block / PII / exact-substring scrub passes.
+    "panel_corpus_clean": (
+        [("doc_id", "long"), ("n_tokens", "long"), ("stage", "string"),
+         ("survivor_id", "long"), ("n_blocks", "long"), ("n_kept", "long"),
+         ("kept_frac", "double"), ("kept_text_md5", "string"),
+         ("n_emails", "int"), ("n_phones", "int"), ("has_pii", "boolean"),
+         ("redacted_md5", "string"), ("n_windows", "long"), ("n_dup", "long"),
+         ("dup_frac", "double"), ("flagged", "boolean")],
+        [
+            ("pipeline", "q94_corpus_clean_pipeline",
+             {"doc_id": "doc_id", "n_tokens": "n_tokens",
+              "stage": "stage", "survivor_id": "survivor_id"}),
+            ("block_dedup", "q96_block_dedup",
+             {"doc_id": "doc_id", "n_blocks": "n_blocks", "n_kept": "n_kept",
+              "kept_frac": "kept_frac", "kept_text_md5": "kept_text_md5"}),
+            ("pii_redaction", "q97_pii_redaction",
+             {"doc_id": "doc_id", "n_emails": "n_emails",
+              "n_phones": "n_phones", "has_pii": "has_pii",
+              "redacted_md5": "redacted_md5"}),
+            ("exact_substring", "q99_exact_substring_dedup",
+             {"doc_id": "doc_id", "n_windows": "n_windows", "n_dup": "n_dup",
+              "dup_frac": "dup_frac", "flagged": "flagged"}),
+        ],
+    ),
+    # corpus-layout family: sequence packing, leakage-safe split,
+    # deterministic global shuffle, domain rollup.
+    "panel_corpus_layout": (
+        [("doc_id", "long"), ("shard", "int"), ("n_tokens", "long"),
+         ("start_pos", "long"), ("first_window", "int"),
+         ("last_window", "int"), ("n_windows", "int"),
+         ("vec_id", "long"), ("cluster_id", "long"),
+         ("in_cluster", "boolean"), ("split", "string"),
+         ("global_pos", "long"), ("domain", "string"), ("n_docs", "long"),
+         ("total_chars", "long"), ("mean_chars", "double")],
+        [
+            ("packing", "q100_sequence_packing",
+             {"doc_id": "doc_id", "shard": "shard", "n_tokens": "n_tokens",
+              "start_pos": "start_pos", "first_window": "first_window",
+              "last_window": "last_window", "n_windows": "n_windows"}),
+            ("leakage_split", "q101_leakage_safe_split",
+             {"vec_id": "vec_id", "cluster_id": "cluster_id",
+              "in_cluster": "in_cluster", "split": "split"}),
+            ("det_shuffle", "q105_deterministic_shuffle",
+             {"doc_id": "doc_id", "shard": "shard",
+              "global_pos": "global_pos"}),
+            ("domain_rollup", "q98_domain_rollup",
+             {"domain": "domain", "n_docs": "n_docs",
+              "total_chars": "total_chars", "mean_chars": "mean_chars"}),
+        ],
+    ),
+    # CDC / resume family: manifest crash+resume state, snapshot diff,
+    # and the incremental diff->extract composition.
+    "panel_cdc_resume": (
+        [("doc_id_bucket", "int"), ("doc_count", "long"),
+         ("span_count", "long"), ("table_count", "long"),
+         ("status", "string"), ("run_seq", "int"), ("doc_id", "long"),
+         ("content_md5", "string"), ("needs_extraction", "boolean")],
+        [
+            ("manifest_resume", "q95_manifest_resume_state",
+             {"doc_id_bucket": "doc_id_bucket", "doc_count": "doc_count",
+              "span_count": "span_count", "table_count": "table_count",
+              "status": "status", "run_seq": "run_seq"}),
+            ("snapshot_diff", "q103_snapshot_diff",
+             {"doc_id": "doc_id", "status": "status",
+              "content_md5": "content_md5",
+              "needs_extraction": "needs_extraction"}),
+            ("incremental", "q106_incremental_extraction",
+             {"doc_id": "doc_id", "status": "status",
+              "span_count": "span_count"}),
+        ],
+    ),
+    # deterministic RAG analogs: citation assembly + query expansion
+    # (the reference's last two LLM-adjacent behaviors).
+    "panel_rag_analogs": (
+        [("cite_index", "int"), ("filename", "string"),
+         ("page_number", "int"), ("content_type", "string"),
+         ("similarity_score", "double"), ("confidence_score", "double"),
+         ("citation", "string"), ("variant_rank", "int"),
+         ("base_term", "string"), ("added_token", "string"),
+         ("df_ab", "long"), ("expanded_query", "string")],
+        [
+            ("citations", "q92_citation_assembly",
+             {"cite_index": "cite_index", "filename": "filename",
+              "page_number": "page_number", "content_type": "content_type",
+              "similarity_score": "similarity_score",
+              "confidence_score": "confidence_score",
+              "citation": "citation"}),
+            ("expansion", "q93_query_expansion",
+             {"variant_rank": "variant_rank", "base_term": "base_term",
+              "added_token": "added_token", "df_ab": "df_ab",
+              "expanded_query": "expanded_query"}),
         ],
     ),
     # ANN / retrieval family: brute-force cosine top-k, IVF probe,
@@ -606,30 +739,20 @@ PANELED: frozenset[str] = frozenset(
 )
 
 # driver-view ordering hedge: if the driver's gate is time-bounded rather
-# than count-bounded, the entries new or restructured this round (round-4
-# operators, then the six new consolidation panels and the two panels
-# that absorbed standalones) must run first
+# than count-bounded, the entries new or restructured this round (the five
+# round-5 consolidation panels and the three panels that absorbed
+# q102/q108/q109) must run first
 _FRONT = [
-    "q91_ngram_decontamination",
-    "q96_block_dedup",
-    "q97_pii_redaction",
-    "q98_domain_rollup",
-    "q99_exact_substring_dedup",
-    "q100_sequence_packing",
-    "q101_leakage_safe_split",
-    "q102_int8_quantization",
-    "q103_snapshot_diff",
-    "q104_bloom_filter_probe",
-    "q105_deterministic_shuffle",
-    "q106_incremental_extraction",
-    "q107_lsh_recall_eval",
-    "q92_citation_assembly",
-    "q93_query_expansion",
-    "q94_corpus_clean_pipeline",
-    "q95_manifest_resume_state",
+    "panel_decontamination",
+    "panel_corpus_clean",
+    "panel_corpus_layout",
+    "panel_cdc_resume",
+    "panel_rag_analogs",
+    "panel_extract_core",
+    "panel_media",
+    "panel_embedding_stats",
     "panel_round3",
     "panel_span_ops",
-    "panel_extract_core",
     "panel_relational",
     "panel_text",
     "panel_ann",
@@ -646,7 +769,6 @@ _FRONT = [
     "panel_kmeans",
     "panel_retrieval",
     "panel_grouping_sets",
-    "panel_media",
 ]
 
 

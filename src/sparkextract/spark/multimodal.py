@@ -101,6 +101,45 @@ def featurize_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_featurize_batches, schema=FEATURE_DDL)
 
 
+OCR_DDL = (
+    "media_id string, doc_id string, media_type string, "
+    "ocr_text string, n_ocr_chars int"
+)
+
+
+def _ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # deterministic pseudo-OCR from the payload hash, routed through the
+    # same P7 clean chain the extraction core uses (core/ocr.py; swap the
+    # raw synthesis for tesseract on a real cluster) — zipimport-safe
+    from sparkextract.core.normalize import collapse_ws
+    from sparkextract.core.ocr import pseudo_ocr_raw
+
+    for pdf in batches:
+        rows = []
+        for mid, did, mtype, payload in zip(
+            pdf["media_id"], pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            raw = bytes(payload) if payload is not None else b""
+            text = collapse_ws(pseudo_ocr_raw(hashlib.md5(raw).hexdigest()))
+            rows.append((mid, did, mtype, text, len(text)))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "doc_id", "media_type", "ocr_text", "n_ocr_chars"]
+        )
+
+
+def ocr_media(media: DataFrame) -> DataFrame:
+    """binary payloads -> per-media OCR text rows, Arrow-batched.
+
+    The decode/OCR engine is the deterministic stub (core/ocr.py); the
+    Spark plumbing — map-only over scan splits, payload bytes never leave
+    the executor that read them, only the short OCR text moves on — is
+    the real 100 TB shape (reference: image_extractor.py:337-549)."""
+    from sparkextract.spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(media.sparkSession)
+    return media.mapInPandas(_ocr_batches, schema=OCR_DDL)
+
+
 def media_dedup(features: DataFrame) -> DataFrame:
     """Exact media dedup by content hash (D2 analog with size priority:
     keep the largest payload, then lowest media_id)."""

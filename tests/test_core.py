@@ -171,8 +171,16 @@ def test_finalize_dedups_tables_and_forms():
 
 
 def test_media_passthrough():
+    from sparkextract.core.ocr import OCR_TEXT_LEN, pseudo_ocr_text
+
     items = extract_input_span("media", None, "img://d/0", 0)
-    assert items == [("image_ocr", None, "img://d/0", 0, 0)]
+    ocr = pseudo_ocr_text("img://d/0")
+    assert items == [("image_ocr", ocr, "img://d/0", 0, 0)]
+    # deterministic, cleaned (no whitespace runs), fixed length
+    assert len(ocr) == OCR_TEXT_LEN
+    assert "  " not in ocr and "\t" not in ocr
+    assert ocr == pseudo_ocr_text("img://d/0")
+    assert ocr != pseudo_ocr_text("img://d/1")
 
 
 def test_extract_document_empty_and_null():

@@ -151,6 +151,32 @@ def test_label_propagation_bound_raises(spark):
         label_propagation(pairs)
 
 
+def test_ocr_media_deterministic(spark):
+    """ocr_media: cleaned pseudo-OCR text derived from the payload hash —
+    equal payloads give equal text, artifacts collapsed, fixed length."""
+    import hashlib
+
+    from sparkextract.core.normalize import collapse_ws
+    from sparkextract.core.ocr import OCR_TEXT_LEN, pseudo_ocr_raw
+    from sparkextract.spark.multimodal import MEDIA_SCHEMA, ocr_media
+
+    rows = [
+        ("m1", "d1", "image", b"same-bytes", 4, 4),
+        ("m2", "d2", "audio", b"same-bytes", 4, 4),
+        ("m3", "d3", "video", b"other", 4, 4),
+        ("m4", "d4", "pdf", None, 4, 4),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in ocr_media(media).collect()}
+    assert got["m1"]["ocr_text"] == got["m2"]["ocr_text"]
+    assert got["m1"]["ocr_text"] != got["m3"]["ocr_text"]
+    for r in got.values():
+        assert r["n_ocr_chars"] == OCR_TEXT_LEN
+        assert "  " not in r["ocr_text"] and "\t" not in r["ocr_text"]
+    expect = collapse_ws(pseudo_ocr_raw(hashlib.md5(b"same-bytes").hexdigest()))
+    assert got["m1"]["ocr_text"] == expect
+
+
 def test_fail_after_buckets_is_bucket_id_rule(spark, tmp_path):
     """fail_after_buckets commits exactly the buckets with id < N —
     deterministic on the bucket ID, independent of which buckets happen

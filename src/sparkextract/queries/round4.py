@@ -565,6 +565,12 @@ def q95_manifest_resume_state(spark, sf_dir):
 # item 1). The per-doc rollup then runs on the FIRSTS table only (one
 # row per distinct block) and joins back to doc-local totals on the
 # uniform doc_id key. Nothing quadratic, no hot-key concentration.
+# The plan reads documents twice (PLANS.md: 2 scans) — deliberate, the
+# q42 trade: the doc-local totals branch re-scans the pruned
+# (doc_id, text) columns instead of materializing the exploded block
+# table, because checkpointing ~1x corpus of exploded rows to executor
+# storage at 100 TB costs more (storage pressure, eviction risk) than a
+# second columnar scan that Parquet serves with pushdown and pruning.
 _Q96_BLOCK = 8
 
 _Q96_ORACLE = f"""

@@ -114,3 +114,132 @@ def q109_media_ocr(spark, sf_dir):
 
     out = ocr_media(_media_df(spark, sf_dir, 200))
     return out.select("media_id", "media_type", "ocr_text", "n_ocr_chars")
+
+
+# --------------------------------------------------------------------------
+# q110: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540) —
+# the cluster-then-dedup composition: k-means-style assignment of every
+# embedding to its nearest centroid, then pairwise cosine ONLY within a
+# cluster; a vector is a semantic duplicate when any lower-id cluster
+# mate sits at cosine >= threshold (greedy first-writer-wins sweep, the
+# deterministic analog of the paper's keep-one-per-tight-group rule).
+# Output is the per-cluster dedup ledger the pipeline reports.
+#
+# Scale shape: assignment is a broadcast of k tiny centroids + a
+# map-side-combinable max_by groupBy (the de-skew form, NOT a window —
+# the same lesson as the round-5 q96/q99 fix); the pairwise stage is an
+# equi-join keyed by cluster id, so cost is sum(|cluster|^2), bounded by
+# the paper's knob: k grows with N (k ~ N / target_cluster_size), never
+# all-pairs. Here k = 8 (the q46 centroid table) for a ~630-vector
+# corpus; twins are injected exactly like q53 so real near-dups exist.
+# Reference intent: near-identical retrieval suppression,
+# /root/reference/src/rag/vector_database.py:184-189.
+_Q110_THRESHOLD = 0.95
+
+
+def _cos_pair_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+        f" / ( sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {a}[i])))"
+        f"   * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {b}[i] * {b}[i]))) )"
+    )
+
+
+def _q110_oracle() -> str:
+    from sparkextract.queries.dedup2 import _DIM
+
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(range(1, {_DIM + 1}),
+               i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.25
+                         ELSE CAST(embedding[i] AS DOUBLE) END)
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    assign AS (
+      SELECT c.vec_id, c.e, ct.cent_id AS cell
+      FROM corpus c, cents ct
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY ROUND({_cos_pair_sql('c.e', 'ct.cv', _DIM)}, 6) DESC,
+                 ct.cent_id ASC) = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND({_cos_pair_sql('a.e', 'b.e', _DIM)}, 6) >= {_Q110_THRESHOLD}
+    )
+    SELECT a.cell, COUNT(*) AS n_members, COUNT(d.vec_id) AS n_dups,
+           COUNT(*) - COUNT(d.vec_id) AS n_survivors
+    FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """
+
+
+@register("q110_semantic_dedup", oracle=_q110_oracle())
+def q110_semantic_dedup(spark, sf_dir):
+    from sparkextract.queries.dedup2 import _banded_corpus, _dot, _norm
+
+    corpus = _banded_corpus(spark, sf_dir)
+    cents = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").between(1, 8))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    ccos = F.round(
+        _dot(F.col("e"), F.col("cv")) / (_norm(F.col("e")) * _norm(F.col("cv"))), 6
+    )
+    # argmax via map-side-combinable max_by (ROUND-6 score, cent_id asc
+    # tie-break = max of (ccos, -cent_id)), not a window over vec_id
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("t")),
+            ).alias("cell"),
+            F.first("e").alias("e"),
+        )
+    )
+    a = assign.select(
+        F.col("vec_id").alias("l"), F.col("cell").alias("cl"), F.col("e").alias("ea")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("r"), F.col("cell").alias("cr"), F.col("e").alias("eb")
+    )
+    pcos = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6
+    )
+    dups = (
+        a.join(b, (F.col("cl") == F.col("cr")) & (F.col("l") < F.col("r")))
+        .withColumn("cos", pcos)
+        .filter(F.col("cos") >= _Q110_THRESHOLD)
+        .select(F.col("r").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_dup").alias("n_dups"),
+        )
+        .withColumn("n_survivors", F.col("n_members") - F.col("n_dups"))
+        .orderBy("cell")
+    )

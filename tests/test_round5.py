@@ -196,3 +196,22 @@ def test_fail_after_buckets_is_bucket_id_rule(spark, tmp_path):
     m = read_manifest(spark, root).filter(F.col("status") == "done")
     got = sorted(r["doc_id_bucket"] for r in m.collect())
     assert all(b < 3 for b in got)
+
+
+def test_q110_semantic_dedup_ledger(spark):
+    """SemDeDup ledger invariants: every corpus vector is assigned to
+    exactly one cell, the per-cell arithmetic holds, and the injected
+    +0.25-on-dim-1 twins (same construction as q53) are caught as
+    within-cluster semantic duplicates."""
+    from sparkextract.queries.dedup2 import _banded_corpus
+    from sparkextract.queries.round5 import q110_semantic_dedup
+
+    rows = q110_semantic_dedup(spark, SF_DIR).collect()
+    corpus_n = _banded_corpus(spark, SF_DIR).count()
+    assert sum(r["n_members"] for r in rows) == corpus_n
+    for r in rows:
+        assert r["n_survivors"] == r["n_members"] - r["n_dups"]
+        assert r["n_survivors"] >= 1
+    # twins sit at cosine >= 0.95 of their originals and share a nearest
+    # centroid, so at least one duplicate must be flagged corpus-wide
+    assert sum(r["n_dups"] for r in rows) >= 1

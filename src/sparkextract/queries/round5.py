@@ -188,34 +188,43 @@ def _q110_oracle() -> str:
 
 @register("q110_semantic_dedup", oracle=_q110_oracle())
 def q110_semantic_dedup(spark, sf_dir):
+    from sparkextract.queries.base import checkpoint_memo
     from sparkextract.queries.dedup2 import _banded_corpus, _dot, _norm
 
-    corpus = _banded_corpus(spark, sf_dir)
-    cents = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id").between(1, 8))
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    def build_assign():
+        corpus = _banded_corpus(spark, sf_dir)
+        cents = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").between(1, 8))
+            .select(
+                F.col("vec_id").alias("cent_id"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+            )
         )
-    )
-    ccos = F.round(
-        _dot(F.col("e"), F.col("cv")) / (_norm(F.col("e")) * _norm(F.col("cv"))), 6
-    )
-    # argmax via map-side-combinable max_by (ROUND-6 score, cent_id asc
-    # tie-break = max of (ccos, -cent_id)), not a window over vec_id
-    assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("cent_id"),
-                F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("t")),
-            ).alias("cell"),
-            F.first("e").alias("e"),
+        ccos = F.round(
+            _dot(F.col("e"), F.col("cv")) / (_norm(F.col("e")) * _norm(F.col("cv"))), 6
         )
-    )
+        # argmax via map-side-combinable max_by (ROUND-6 score, cent_id
+        # asc tie-break = max of (ccos, -cent_id)), not a window over
+        # vec_id
+        return (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", ccos)
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("cent_id"),
+                    F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("t")),
+                ).alias("cell"),
+                F.first("e").alias("e"),
+            )
+        )
+
+    # The assignment table feeds three subtrees (pair-join left/right +
+    # the ledger join); materialize it ONCE (at real scale this is the
+    # cluster-assignment write every SemDeDup implementation persists
+    # before the within-cluster pass).
+    assign = checkpoint_memo(spark, sf_dir, "q110_assign", build_assign)
     a = assign.select(
         F.col("vec_id").alias("l"), F.col("cell").alias("cl"), F.col("e").alias("ea")
     )

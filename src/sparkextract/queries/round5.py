@@ -252,3 +252,171 @@ def q110_semantic_dedup(spark, sf_dir):
         .withColumn("n_survivors", F.col("n_members") - F.col("n_dups"))
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# q111: PRODUCT QUANTIZATION + ADC TOP-K (PQ, Jegou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search") — the compression rung the
+# ANN ladder (q27 brute -> q28/q53 LSH -> q46 IVF -> q102 int8) was
+# missing: split each 64-d embedding into M=4 contiguous 16-d subspaces,
+# quantize every subvector to its nearest of K=8 sub-centroids (the
+# deterministic codebook = subvectors of vec_id 1..8, the same seeding
+# trick as q46/q110), so a vector compresses to 4 code bytes; then
+# answer a query via ASYMMETRIC DISTANCE COMPUTATION — a 4x8 lookup
+# table of query-subvector-to-centroid distances, approx distance =
+# sum of 4 table entries — and report the ADC top-20 with each hit
+# flagged against the exact-L2 top-20 (the recall surface, like q107
+# did for LSH banding).
+#
+# Numeric discipline: every subspace distance is scaled to BIGINT
+# micro-units (ROUND(l2sq * 1e6)) the moment it is computed, so the
+# ADC sum is exact integer arithmetic — no cross-engine double-sum
+# ordering hazard at all (stricter than the ROUND-after-sum pattern).
+#
+# Scale shape: codes = one scan + one map-side-combinable argmin
+# groupBy (the codebook is 32 broadcast rows); at real scale the codes
+# table is the persisted index artifact (64 bytes -> 4 bytes per
+# vector, the point of PQ) and queries never touch raw embeddings —
+# ADC probe = broadcast 32-row lookup join + map-side-combinable sum +
+# TakeOrderedAndProject. Nothing all-pairs, nothing windowed.
+# Reference intent: pgvector ANN retrieval,
+# /root/reference/src/rag/vector_database.py:156-189.
+_Q111_M = 4
+_Q111_SUB = 16
+_Q111_K = 8
+_Q111_TOPK = 20
+
+
+def _l2sq_u(a, b):
+    """Squared L2 distance between two double arrays in exact BIGINT
+    micro-units (see the q111 numeric-discipline note)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+
+
+def _l2sq_u_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"CAST(ROUND(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000) AS BIGINT)"
+    )
+
+
+def _q111_oracle() -> str:
+    m, sub, k, topk = _Q111_M, _Q111_SUB, _Q111_K, _Q111_TOPK
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, m, list_transform(range(1, {sub + 1}), i -> e[m*{sub} + i]) AS sv
+      FROM e CROSS JOIN (SELECT UNNEST(range(0, {m})) AS m)
+    ),
+    cb AS (
+      SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id BETWEEN 1 AND {k}
+    ),
+    codes AS (
+      SELECT s.vec_id, s.m, c.k AS code,
+             {_l2sq_u_sql('s.sv', 'c.cv', sub)} AS d2u
+      FROM sub s JOIN cb c ON s.m = c.m
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                 ORDER BY d2u ASC, c.k ASC) = 1
+    ),
+    qtab AS (
+      SELECT c.m, c.k, {_l2sq_u_sql('q.sv', 'c.cv', sub)} AS qd2u
+      FROM cb c JOIN sub q ON q.vec_id = 0 AND q.m = c.m
+    ),
+    adc AS (
+      SELECT codes.vec_id, CAST(SUM(qt.qd2u) AS BIGINT) AS adc_d2u
+      FROM codes JOIN qtab qt ON codes.m = qt.m AND codes.code = qt.k
+      GROUP BY codes.vec_id
+    ),
+    exact AS (
+      SELECT a.vec_id, {_l2sq_u_sql('a.e', 'q.e', sub * m)} AS exact_d2u
+      FROM e a CROSS JOIN (SELECT e FROM e WHERE vec_id = 0) q
+    ),
+    top_adc AS (
+      SELECT adc.vec_id, adc.adc_d2u, exact.exact_d2u
+      FROM adc JOIN exact USING (vec_id)
+      ORDER BY adc.adc_d2u, adc.vec_id LIMIT {topk}
+    ),
+    exact_top AS (
+      SELECT vec_id, 1 AS hit FROM exact ORDER BY exact_d2u, vec_id LIMIT {topk}
+    )
+    SELECT t.vec_id, t.adc_d2u, t.exact_d2u,
+           COALESCE(et.hit, 0) AS in_exact_topk
+    FROM top_adc t LEFT JOIN exact_top et ON t.vec_id = et.vec_id
+    ORDER BY t.adc_d2u, t.vec_id
+    """
+
+
+@register("q111_pq_adc_topk", oracle=_q111_oracle())
+def q111_pq_adc_topk(spark, sf_dir):
+    m, sub, k, topk = _Q111_M, _Q111_SUB, _Q111_K, _Q111_TOPK
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    subv = (
+        emb.withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .withColumn("sv", F.expr(f"slice(e, m*{sub} + 1, {sub})"))
+        .select("vec_id", "m", "sv")
+    )
+    cb = subv.filter(F.col("vec_id").between(1, k)).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
+    )
+    qsub = subv.filter(F.col("vec_id") == 0).select(
+        F.col("m").alias("qm"), F.col("sv").alias("qv")
+    )
+    # per-(vector, subspace) argmin over the 32-row broadcast codebook —
+    # map-side-combinable min_by, never a window over the corpus
+    codes = (
+        subv.join(F.broadcast(cb), "m")
+        .withColumn("d2u", _l2sq_u(F.col("sv"), F.col("cv")))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", F.struct(F.col("d2u"), F.col("k"))).alias("code"))
+    )
+    # the 4x8 ADC lookup table: query subvector vs every sub-centroid
+    qtab = (
+        cb.join(F.broadcast(qsub), F.col("m") == F.col("qm"))
+        .select("m", "k", _l2sq_u(F.col("cv"), F.col("qv")).alias("qd2u"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes["m"] == qtab["m"]) & (codes["code"] == qtab["k"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd2u").alias("adc_d2u"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    exact = emb.crossJoin(F.broadcast(qvec)).select(
+        "vec_id", _l2sq_u(F.col("e"), F.col("qe")).alias("exact_d2u")
+    )
+    # cut to top-k FIRST (TakeOrderedAndProject over the corpus), then
+    # annotate the 20 winners with exact distance via a broadcast join —
+    # never a corpus-sized sort-merge join just to decorate the output
+    top_ids = adc.orderBy("adc_d2u", "vec_id").limit(topk)
+    top_adc = exact.join(F.broadcast(top_ids), "vec_id").select(
+        "vec_id", "adc_d2u", "exact_d2u"
+    )
+    exact_top = (
+        exact.orderBy("exact_d2u", "vec_id")
+        .limit(topk)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        top_adc.join(F.broadcast(exact_top), "vec_id", "left")
+        .select(
+            "vec_id",
+            "adc_d2u",
+            "exact_d2u",
+            F.coalesce(F.col("hit"), F.lit(0)).alias("in_exact_topk"),
+        )
+        .orderBy("adc_d2u", "vec_id")
+    )

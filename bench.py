@@ -81,6 +81,8 @@ HEADLINE = [
     "q99_exact_substring_dedup",
     "q104_bloom_filter_probe",
     "q105_deterministic_shuffle",
+    "q110_semantic_dedup",
+    "q111_pq_adc_topk",
 ]
 
 

@@ -420,3 +420,214 @@ def q111_pq_adc_topk(spark, sf_dir):
         )
         .orderBy("adc_d2u", "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q112: DSIR IMPORTANCE RESAMPLING — hashed-bigram importance weights
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): estimate a target-domain feature distribution (here the
+# lang='en' slice stands in for the curated target) and the raw-corpus
+# distribution over B=64 md5-hashed bigram buckets, score every document
+# by the log-likelihood ratio of its features under target vs raw, and
+# keep the top-scoring docs. Beyond-reference training-pipeline op (the
+# reference stops at extraction; this is the selection step a 100 TB
+# pretraining corpus runs next).
+#
+# Numeric discipline: the per-bucket log-ratio is ROUND(...,6)-ed and
+# frozen as DECIMAL(12,6) on the 64-row bucket table, so the per-doc
+# score is an EXACT decimal sum (engine-order-independent) of
+# count * ratio — the only float op is one ln over a ratio of doubles
+# built from exact integer counts, each factor cast to double BEFORE
+# multiplying (IEEE-identical in both engines, and immune to int64
+# overflow at 10^12-token scale where a bigint product would wrap).
+# Scale shape: tokenize once (checkpoint_memo), one mergeable
+# (doc_id, bucket) count, bucket marginals derived FROM those counts
+# (no second corpus pass), the 64-row ratio table broadcast back, and
+# the final selection is TakeOrderedAndProject — no window, no
+# corpus-wide sort, nothing keyed on a skewable value.
+_Q112_BUCKETS = 64
+_Q112_TOPK = 40
+
+_Q112_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS a
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS bigram
+  FROM toks
+),
+instb AS (
+  SELECT doc_id, lang,
+    CAST(CAST(('0x' || SUBSTRING(md5(CAST(bigram AS VARCHAR)), 1, 8)) AS UBIGINT)
+         % {_Q112_BUCKETS} AS BIGINT) AS b
+  FROM inst
+),
+docb AS (
+  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM instb GROUP BY doc_id, lang, b
+),
+raw AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM docb GROUP BY b),
+tgt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM docb WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr,
+         (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS tt
+),
+lr AS (
+  SELECT r.b,
+    CAST(ROUND(ln(
+      (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * CAST(tot.tr + {_Q112_BUCKETS} AS DOUBLE))
+      / (CAST(tot.tt + {_Q112_BUCKETS} AS DOUBLE) * CAST(r.cr + 1 AS DOUBLE))
+    ), 6) AS DECIMAL(12,6)) AS lw
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang,
+       CAST(SUM(d.c) AS BIGINT) AS n_features,
+       CAST(SUM(d.c * l.lw) AS DOUBLE) AS dsir_weight
+FROM docb d JOIN lr l USING (b)
+GROUP BY d.doc_id, d.lang
+ORDER BY dsir_weight DESC, d.doc_id
+LIMIT {_Q112_TOPK}
+"""
+
+
+@register("q112_dsir_resampling", oracle=_Q112_ORACLE)
+def q112_dsir_resampling(spark, sf_dir):
+    from sparkextract.queries.base import checkpoint_memo, md5_bucket
+
+    b = _Q112_BUCKETS
+    # the memoized grain is the COUNTED (doc, bucket) table, not the raw
+    # hashed instances: three subtrees (raw marginal, target marginal,
+    # final score) reuse it, and it is bounded by docs * B rather than
+    # by token count — the explode+md5 pass runs exactly once
+    docb = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q112_docb",
+        lambda: load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("a"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.when(
+                    F.size("a") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("a") - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("a", i), F.element_at("a", i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
+        .select("doc_id", "lang", md5_bucket(F.col("bigram"), b).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c")),
+    )
+    # bucket marginals derive from the (doc, bucket) counts — no second
+    # pass over the instance table; both are 64-row results
+    raw = docb.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (
+        docb.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("c").alias("ct"))
+    )
+    tot = (
+        raw.agg(F.sum("cr").alias("tr"))
+        .crossJoin(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("tt"))
+        )
+    )
+    num = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") * (
+        F.col("tr") + b
+    ).cast("double")
+    den = (F.col("tt") + b).cast("double") * (F.col("cr") + 1).cast("double")
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.round(F.log(num / den), 6).cast("decimal(12,6)").alias("lw"))
+    )
+    return (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("c") * F.col("lw")).cast("double").alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(_Q112_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q113: VOCABULARY COVERAGE CURVE — what fraction of all token
+# occurrences the top-V most frequent types cover, at the vocab sizes a
+# tokenizer-budget decision actually compares. The op behind "how big
+# must the vocabulary be": token-type frequencies (one mergeable
+# groupBy), the top 1024 types via TakeOrderedAndProject (count desc,
+# token asc — a total order, so the 1024-boundary cut is identical in
+# both engines), then the cumulative curve over that BOUNDED table
+# (the single-partition window touches <= 1024 rows by construction —
+# the q90 tiny-grain global-window shape, never a corpus-wide window).
+_Q113_SIZES = (16, 64, 256, 1024)
+
+_Q113_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE t <> '' GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM tc),
+ranked AS (
+  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM tc
+),
+top AS (SELECT * FROM ranked WHERE rn <= {max(_Q113_SIZES)})
+SELECT CAST(v.vocab_size AS INT) AS vocab_size,
+       CAST(SUM(top.c) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(SUM(top.c) AS DOUBLE) / CAST(MAX(tot.s) AS DOUBLE), 6) AS coverage
+FROM (VALUES {", ".join(f"({v})" for v in _Q113_SIZES)}) AS v(vocab_size)
+JOIN top ON top.rn <= v.vocab_size
+CROSS JOIN tot
+GROUP BY v.vocab_size
+ORDER BY vocab_size
+"""
+
+
+@register("q113_vocab_coverage", oracle=_Q113_ORACLE)
+def q113_vocab_coverage(spark, sf_dir):
+    from pyspark.sql import Window
+
+    top_n = max(_Q113_SIZES)
+    tc = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.agg(F.sum("c").alias("s"))
+    # bounded: orderBy+limit is TakeOrderedAndProject; the row_number
+    # window then runs over <= top_n rows, not the corpus vocabulary
+    top = (
+        tc.orderBy(F.desc("c"), "t")
+        .limit(top_n)
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("c"), "t")))
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _Q113_SIZES])).alias("vocab_size")
+    )
+    return (
+        top.join(F.broadcast(sizes), F.col("rn") <= F.col("vocab_size"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum("c").alias("covered_tokens"),
+            F.round(
+                F.sum("c").cast("double") / F.max("s").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -631,3 +631,149 @@ def q113_vocab_coverage(spark, sf_dir):
         )
         .orderBy("vocab_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q114: SNAPSHOT TOKEN-DISTRIBUTION DRIFT — the corpus-refresh QA step
+# that runs right after the q103 CDC diff: how far did the refreshed
+# corpus's token distribution move from the previous snapshot's?
+# Smoothed Jensen-Shannon divergence over token types (add-one over the
+# union vocabulary, so no zero-probability ln), reporting the total JSD
+# plus the top drift-contributing tokens. The previous snapshot is
+# q103's deterministic rule (md5 bucket 0 of doc_id missing, bucket 1
+# text prefixed 'stale ') so the two ops compose into one monitoring
+# pipeline.
+#
+# Numeric discipline (the q112 pattern): shares p/q are single
+# divisions of exact integer-valued doubles (IEEE-identical in both
+# engines); each token's JS contribution is ROUND(...,9)-frozen as
+# DECIMAL(18,9) so the corpus-total JSD is an EXACT decimal sum —
+# engine- and partition-order-independent — and ordering under the
+# LIMIT is by the rounded magnitude with a token tie-break.
+# Scale shape: two mergeable token-grain counts, ONE full-outer
+# equi-join on the token key (co-partitioned), the 1-row totals frame
+# broadcast back, top-k via TakeOrderedAndProject; the joined
+# token-grain table is memoized because the totals and the scoring
+# pass both read it. Nothing is keyed on a skewable value (token keys
+# carry counts, not rows).
+_Q114_TOPK = 25
+
+_Q114_OLD = """
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 10 = 1
+              THEN 'stale ' || text ELSE text END AS text
+  FROM documents
+  WHERE CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 10 <> 0
+"""
+
+_Q114_ORACLE = f"""
+WITH old_toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM ({_Q114_OLD})
+),
+new_toks AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+co_ AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS co FROM old_toks WHERE t <> '' GROUP BY t),
+cn_ AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cn FROM new_toks WHERE t <> '' GROUP BY t),
+u AS (
+  SELECT COALESCE(co_.t, cn_.t) AS token,
+         COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+  FROM co_ FULL OUTER JOIN cn_ ON co_.t = cn_.t
+),
+tot AS (
+  SELECT CAST(SUM(co) AS BIGINT) AS tot_o, CAST(SUM(cn) AS BIGINT) AS tot_n,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM u
+),
+pq AS (
+  SELECT token, co, cn,
+         CAST(co + 1 AS DOUBLE) / CAST(tot.tot_o + tot.v AS DOUBLE) AS p,
+         CAST(cn + 1 AS DOUBLE) / CAST(tot.tot_n + tot.v AS DOUBLE) AS q
+  FROM u CROSS JOIN tot
+),
+scored AS (
+  SELECT token, co, cn,
+         ROUND(q - p, 9) AS delta_share,
+         CAST(ROUND(0.5 * (p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))), 9)
+              AS DECIMAL(18,9)) AS contrib
+  FROM pq
+),
+total AS (SELECT CAST(SUM(contrib) AS DOUBLE) AS jsd_total FROM scored)
+SELECT s.token, s.co AS c_old, s.cn AS c_new, s.delta_share,
+       CAST(s.contrib AS DOUBLE) AS js_contrib, total.jsd_total
+FROM scored s CROSS JOIN total
+ORDER BY ROUND(ABS(s.delta_share), 9) DESC, s.token
+LIMIT {_Q114_TOPK}
+"""
+
+
+@register("q114_snapshot_token_drift", oracle=_Q114_ORACLE)
+def q114_snapshot_token_drift(spark, sf_dir):
+    from sparkextract.queries.base import checkpoint_memo, md5_bucket
+
+    def build():
+        new = load(spark, sf_dir, "documents").select("doc_id", "text")
+        b = md5_bucket(F.col("doc_id"), 10)
+        old = new.filter(b != 0).select(
+            F.when(b == 1, F.concat(F.lit("stale "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text")
+        )
+
+        def counts(df, name):
+            return (
+                df.select(F.explode(F.split("text", " ")).alias("t"))
+                .filter(F.col("t") != "")
+                .groupBy("t")
+                .agg(F.count("*").alias(name))
+            )
+
+        return (
+            counts(old, "co")
+            .join(counts(new, "cn"), "t", "full_outer")
+            .select(
+                F.col("t").alias("token"),
+                F.coalesce("co", F.lit(0)).alias("co"),
+                F.coalesce("cn", F.lit(0)).alias("cn"),
+            )
+        )
+
+    u = checkpoint_memo(spark, sf_dir, "q114_union_counts", build)
+    tot = u.agg(
+        F.sum("co").alias("tot_o"),
+        F.sum("cn").alias("tot_n"),
+        F.count("*").alias("v"),
+    )
+    p = (F.col("co") + 1).cast("double") / (F.col("tot_o") + F.col("v")).cast(
+        "double"
+    )
+    q = (F.col("cn") + 1).cast("double") / (F.col("tot_n") + F.col("v")).cast(
+        "double"
+    )
+    m = (p + q) / F.lit(2.0)
+    contrib = F.round(
+        F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m)), 9
+    ).cast("decimal(18,9)")
+    scored = u.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "co",
+        "cn",
+        F.round(q - p, 9).alias("delta_share"),
+        contrib.alias("contrib"),
+    )
+    total = scored.agg(F.sum("contrib").cast("double").alias("jsd_total"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("co").alias("c_old"),
+            F.col("cn").alias("c_new"),
+            "delta_share",
+            F.col("contrib").cast("double").alias("js_contrib"),
+            "jsd_total",
+        )
+        .orderBy(F.round(F.abs(F.col("delta_share")), 9).desc(), "token")
+        .limit(_Q114_TOPK)
+    )

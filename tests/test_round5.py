@@ -239,3 +239,57 @@ def test_q111_pq_adc_invariants(spark):
     # ranking is by (adc_d2u, vec_id) ascending
     keys = [(r["adc_d2u"], r["vec_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_q112_dsir_favors_target_lang(spark):
+    """DSIR selection invariants: the top-k docs by hashed-bigram
+    log-likelihood ratio against the lang='en' target must be MORE
+    'en'-heavy than the corpus at large (the whole point of importance
+    resampling), weights arrive sorted descending with doc_id
+    tie-break, and n_features matches each doc's bigram count."""
+    from sparkextract.queries.round5 import _Q112_TOPK, q112_dsir_resampling
+
+    rows = q112_dsir_resampling(spark, SF_DIR).collect()
+    assert len(rows) == _Q112_TOPK
+    keys = [(-r["dsir_weight"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    corpus_en = docs.filter(F.col("lang") == "en").count() / docs.count()
+    top_en = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    assert top_en > corpus_en
+    assert all(r["n_features"] >= 1 for r in rows)
+
+
+def test_q113_coverage_monotone(spark):
+    """Vocabulary coverage is monotone in vocab size, bounded by (0, 1],
+    and covered_tokens never exceeds the corpus token total."""
+    from sparkextract.queries.round5 import _Q113_SIZES, q113_vocab_coverage
+
+    rows = {r["vocab_size"]: r for r in q113_vocab_coverage(spark, SF_DIR).collect()}
+    assert set(rows) == set(_Q113_SIZES)
+    prev_cov, prev_tok = 0.0, 0
+    for v in sorted(_Q113_SIZES):
+        r = rows[v]
+        assert 0.0 < r["coverage"] <= 1.0
+        assert r["coverage"] >= prev_cov and r["covered_tokens"] >= prev_tok
+        prev_cov, prev_tok = r["coverage"], r["covered_tokens"]
+
+
+def test_q114_jsd_invariants(spark):
+    """Per-token JS contributions are non-negative (log-sum inequality:
+    p ln(p/m) + q ln(q/m) >= 0 for m = (p+q)/2), the total bounds every
+    contribution, and the injected 'stale' prefix token must surface as
+    a top drift contributor (it exists only in the old snapshot)."""
+    from sparkextract.queries.round5 import q114_snapshot_token_drift
+
+    rows = q114_snapshot_token_drift(spark, SF_DIR).collect()
+    assert rows
+    total = rows[0]["jsd_total"]
+    assert total > 0
+    for r in rows:
+        assert r["js_contrib"] >= 0
+        assert r["js_contrib"] <= total
+        assert r["jsd_total"] == total
+    assert any(r["token"] == "stale" for r in rows)
+    stale = next(r for r in rows if r["token"] == "stale")
+    assert stale["c_new"] == 0 and stale["c_old"] > 0 and stale["delta_share"] < 0

@@ -777,3 +777,172 @@ def q114_snapshot_token_drift(spark, sf_dir):
         .orderBy(F.round(F.abs(F.col("delta_share")), 9).desc(), "token")
         .limit(_Q114_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q115: ZIPF SLOPE — the corpus-health diagnostic behind "does this
+# corpus look like natural language": least-squares slope of
+# ln(frequency) vs ln(rank) over the top-256 token types (natural text
+# sits near -1; heavily templated/duplicated corpora flatten or
+# steepen). All regression sums run over the BOUNDED top-256 table
+# (TakeOrderedAndProject under the total order (count desc, token asc),
+# same cut rule as q113), so the fit costs one mergeable token count
+# plus O(1) arithmetic; slope/intercept are computed with the identical
+# formula shape in both engines and ROUND(...,6)-ed (ln ulp + 256-term
+# sum reorder stay ~1e-13, far under the rounding grain).
+_Q115_TOPN = 256
+
+_Q115_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE t <> '' GROUP BY t),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM tc
+),
+top AS (
+  SELECT ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked WHERE rn <= {_Q115_TOPN}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM top
+)
+SELECT n AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
+@register("q115_zipf_slope", oracle=_Q115_ORACLE)
+def q115_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tc = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        tc.orderBy(F.desc("c"), "t")
+        .limit(_Q115_TOPN)
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("c"), "t")))
+        .select(
+            F.log(F.col("rn").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope_raw = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope_raw, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope_raw * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q116: INCREMENTAL IVF INDEX MAINTENANCE — the vector-index side of the
+# q103 CDC story: after a corpus refresh, ONLY the added/changed vectors
+# re-enter nearest-centroid assignment (broadcast centroids + the q110
+# map-side-combinable max_by argmax, never a window); the unchanged
+# majority keeps its existing index cell (NULL here = untouched entry).
+# At 100 TB the index is never rebuilt — assignment cost tracks the CDC
+# delta (~20% under this deterministic rule: md5 bucket 0 of vec_id =
+# added, bucket 1 = changed), and the status pass is map-only.
+# Composes with q103 (same snapshot rule) and q46 (same IVF cells).
+def _q116_oracle() -> str:
+    from sparkextract.queries.base import md5_bucket_sql
+    from sparkextract.queries.dedup2 import _DIM
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings
+    ),
+    st AS (
+      SELECT vec_id, ev,
+             CASE WHEN CAST({md5_bucket_sql("vec_id", 10)} AS BIGINT) = 0
+                    THEN 'added'
+                  WHEN CAST({md5_bucket_sql("vec_id", 10)} AS BIGINT) = 1
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, ev AS cv FROM e WHERE vec_id BETWEEN 1 AND 8
+    ),
+    assign AS (
+      SELECT s.vec_id, ct.cent_id AS cell
+      FROM st s, cents ct
+      WHERE s.status <> 'unchanged'
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY s.vec_id
+        ORDER BY ROUND({_cos_pair_sql('s.ev', 'ct.cv', _DIM)}, 6) DESC,
+                 ct.cent_id ASC) = 1
+    )
+    SELECT s.vec_id, s.status,
+           (s.status <> 'unchanged') AS needs_index,
+           a.cell
+    FROM st s LEFT JOIN assign a ON a.vec_id = s.vec_id
+    """
+
+
+@register("q116_incremental_ivf", oracle=_q116_oracle())
+def q116_incremental_ivf(spark, sf_dir):
+    from sparkextract.queries.base import md5_bucket
+    from sparkextract.queries.dedup2 import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
+    )
+    b = md5_bucket(F.col("vec_id"), 10)
+    st = emb.select(
+        "vec_id",
+        "ev",
+        F.when(b == 0, F.lit("added"))
+        .when(b == 1, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    cents = emb.filter(F.col("vec_id").between(1, 8)).select(
+        F.col("vec_id").alias("cent_id"), F.col("ev").alias("cv")
+    )
+    ccos = F.round(
+        _dot(F.col("ev"), F.col("cv")) / (_norm(F.col("ev")) * _norm(F.col("cv"))),
+        6,
+    )
+    assign = (
+        st.filter(F.col("status") != "unchanged")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("t")),
+            ).alias("cell")
+        )
+    )
+    return st.join(assign, "vec_id", "left").select(
+        "vec_id",
+        "status",
+        (F.col("status") != "unchanged").alias("needs_index"),
+        "cell",
+    )

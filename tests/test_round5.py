@@ -293,3 +293,35 @@ def test_q114_jsd_invariants(spark):
     assert any(r["token"] == "stale" for r in rows)
     stale = next(r for r in rows if r["token"] == "stale")
     assert stale["c_new"] == 0 and stale["c_old"] > 0 and stale["delta_share"] < 0
+
+
+def test_q115_zipf_slope_sane(spark):
+    """The power-law fit is negative (frequency falls with rank),
+    n_points is bounded by the top-N cut, and the intercept recovers a
+    positive ln-frequency scale."""
+    from sparkextract.queries.round5 import _Q115_TOPN, q115_zipf_slope
+
+    row = q115_zipf_slope(spark, SF_DIR).collect()[0]
+    assert 1 <= row["n_points"] <= _Q115_TOPN
+    assert row["zipf_slope"] < 0
+    assert row["intercept"] > 0
+
+
+def test_q116_incremental_ivf_delta_only(spark):
+    """Index maintenance touches ONLY the CDC delta: every added/changed
+    vector gets exactly one cell from the 8 centroids, every unchanged
+    vector keeps a NULL cell, and the delta share matches the md5
+    bucket rule (buckets 0 and 1 of 10)."""
+    from sparkextract.queries.round5 import q116_incremental_ivf
+
+    rows = q116_incremental_ivf(spark, SF_DIR).collect()
+    n = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).count()
+    assert len(rows) == n
+    for r in rows:
+        if r["status"] == "unchanged":
+            assert not r["needs_index"] and r["cell"] is None
+        else:
+            assert r["needs_index"] and r["cell"] is not None
+            assert 1 <= r["cell"] <= 8
+    delta = sum(1 for r in rows if r["needs_index"])
+    assert 0 < delta < n

@@ -946,3 +946,81 @@ def q116_incremental_ivf(spark, sf_dir):
         (F.col("status") != "unchanged").alias("needs_index"),
         "cell",
     )
+
+
+# --------------------------------------------------------------------------
+# q117: CORPUS-REFRESH PIPELINE — the composed CDC flagship (the q94
+# pattern applied to the refresh path): one query chaining the four
+# operators a periodic corpus refresh actually runs, reported as a
+# stage summary: (1) q103 snapshot diff (added/changed/unchanged
+# counts), (2) q106 incremental extraction (spans re-extracted for the
+# delta only), (3) q114 token-drift monitor (total JS divergence), and
+# (4) q116 incremental IVF maintenance (vectors reassigned). Each stage
+# aggregates the SAME registered operator the standalone entry gates,
+# so the composition proves the stages agree end-to-end, not just in
+# isolation. Scale shape inherits from the parts: everything is keyed
+# or broadcast, and only the CDC delta re-enters extraction/indexing.
+_Q117_ORACLE = None  # built lazily below (needs round4 oracles)
+
+
+def _q117_oracle() -> str:
+    from sparkextract.queries.round4 import _Q103_ORACLE, _Q106_ORACLE
+
+    return f"""
+    SELECT 'diff' AS stage, status AS probe,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS metric
+    FROM ({_Q103_ORACLE}) GROUP BY status
+    UNION ALL
+    SELECT 'extract', 'spans_reextracted',
+           CAST(SUM(span_count) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM ({_Q106_ORACLE})
+    UNION ALL
+    SELECT 'drift', 'jsd_total',
+           CAST(COUNT(*) AS BIGINT), MAX(jsd_total)
+    FROM ({_Q114_ORACLE})
+    UNION ALL
+    SELECT 'index', 'reassigned',
+           CAST(SUM(CASE WHEN needs_index THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM ({_q116_oracle()})
+    """
+
+
+@register("q117_corpus_refresh_pipeline", oracle=_q117_oracle())
+def q117_corpus_refresh_pipeline(spark, sf_dir):
+    from sparkextract.queries.round4 import (
+        q103_snapshot_diff,
+        q106_incremental_extraction,
+    )
+
+    null_metric = F.lit(None).cast("double")
+    diff = (
+        q103_snapshot_diff(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("diff").alias("stage"),
+            F.col("status").alias("probe"),
+            F.col("n").cast("long").alias("n"),
+            null_metric.alias("metric"),
+        )
+    )
+    extract = q106_incremental_extraction(spark, sf_dir).agg(
+        F.lit("extract").alias("stage"),
+        F.lit("spans_reextracted").alias("probe"),
+        F.sum("span_count").cast("long").alias("n"),
+        null_metric.alias("metric"),
+    )
+    drift = q114_snapshot_token_drift(spark, sf_dir).agg(
+        F.lit("drift").alias("stage"),
+        F.lit("jsd_total").alias("probe"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("jsd_total").alias("metric"),
+    )
+    index = q116_incremental_ivf(spark, sf_dir).agg(
+        F.lit("index").alias("stage"),
+        F.lit("reassigned").alias("probe"),
+        F.sum(F.col("needs_index").cast("long")).cast("long").alias("n"),
+        null_metric.alias("metric"),
+    )
+    return diff.unionByName(extract).unionByName(drift).unionByName(index)

@@ -325,3 +325,37 @@ def test_q116_incremental_ivf_delta_only(spark):
             assert 1 <= r["cell"] <= 8
     delta = sum(1 for r in rows if r["needs_index"])
     assert 0 < delta < n
+
+
+def test_q117_composition_agrees_with_parts(spark):
+    """The corpus-refresh flagship's stage aggregates must equal the
+    standalone operators' own aggregates — the composition proof."""
+    from sparkextract.queries.round4 import (
+        q103_snapshot_diff,
+        q106_incremental_extraction,
+    )
+    from sparkextract.queries.round5 import (
+        q114_snapshot_token_drift,
+        q116_incremental_ivf,
+        q117_corpus_refresh_pipeline,
+    )
+
+    rows = {
+        (r["stage"], r["probe"]): r
+        for r in q117_corpus_refresh_pipeline(spark, SF_DIR).collect()
+    }
+    diff = {
+        r["status"]: r["n"]
+        for r in q103_snapshot_diff(spark, SF_DIR).groupBy("status").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for status, n in diff.items():
+        assert rows[("diff", status)]["n"] == n
+    spans = sum(
+        r["span_count"] for r in q106_incremental_extraction(spark, SF_DIR).collect()
+    )
+    assert rows[("extract", "spans_reextracted")]["n"] == spans
+    jsd = q114_snapshot_token_drift(spark, SF_DIR).collect()[0]["jsd_total"]
+    assert rows[("drift", "jsd_total")]["metric"] == jsd
+    reassigned = q116_incremental_ivf(spark, SF_DIR).filter("needs_index").count()
+    assert rows[("index", "reassigned")]["n"] == reassigned

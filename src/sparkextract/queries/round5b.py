@@ -1,0 +1,584 @@
+"""Round-5 final-wave operators — the corpus-curation algorithm families
+the inventory did not yet cover, each as a Spark query + exact DuckDB
+oracle under the shared numeric discipline (queries/base.py):
+
+- q119: iterative link-graph PageRank (Brin & Page 1998) in integer
+  micro-units — the graph-centrality pass a crawl-corpus pipeline runs
+  to weight documents before sampling.
+- q120: clustering-agreement Rand index (Rand 1971) — pair-counting
+  drift metric between a stored cluster assignment and a re-derived
+  one; the monitoring op for embedding-space churn between snapshots.
+- q121: ROUGE-style clipped n-gram precision/recall/F1 (Lin 2004)
+  between paired documents — the eval-metric machinery (multiset
+  clipped counts, unigram + bigram) a summarization-data pipeline runs.
+- q122: one BPE merge step (Sennrich et al. 2016): argmax adjacent
+  token pair, apply the merge to every sequence, recount — the
+  tokenizer-training inner loop as set-oriented dataflow.
+- q123: hard-negative mining for contrastive training (Karpukhin et
+  al. 2020, DPR): per query, top-k nearest neighbors EXCLUDING the
+  query's own label class.
+
+Determinism rules used here: all counting in BIGINT; PageRank in
+integer micro-units with floor division (bit-identical across engines,
+the q111 integer-distance discipline); ratios of exact integers as ONE
+double division, ROUND(...,6); every LIMIT carries a tie-breaking
+ORDER BY; pseudo-randomness only via md5 (never engine hash()/rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkextract.queries.base import load, register
+
+# --------------------------------------------------------------------------
+# q119: LINK-GRAPH PAGERANK, 3 ITERATIONS, INTEGER MICRO-UNITS.
+#
+# Graph: every document cites 3 md5-derived targets (self-citations
+# dropped), the deterministic stand-in for a hyperlink graph extracted
+# by the main-content pass (reference analog: the cross-reference /
+# citation assembly surface, q92). Ranks live in micro-units (1e6 = 1.0)
+# and every step is BIGINT floor arithmetic:
+#   r0(v)    = 1_000_000
+#   r_{t+1}(v) = 150_000 + (85 * SUM_{u->v}(r_t(u) div outdeg(u))) div 100
+# so the sums are order-independent and both engines agree bit-for-bit
+# (float PageRank would diverge in the last ulp under different
+# aggregation orders).
+#
+# Scale shape: edges are generated map-side from the doc scan (3 rows
+# per doc, no shuffle); each iteration is one shuffle keyed by dst with
+# map-side partial sums, the canonical PageRank dataflow. On a real
+# cluster the edge table would be hash-partitioned by src once and the
+# rank table co-partitioned, so only the contribution shuffle remains;
+# iteration count is fixed (3), not data-dependent.
+_Q119_ITERS = 3
+_Q119_FANOUT = 3
+_Q119_TOPK = 20
+
+
+def _cite_bucket_sql(j: int) -> str:
+    return (
+        f"CAST(CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR) || '#{j}'), 1, 8))"
+        f" AS UBIGINT) % n.n_docs AS BIGINT)"
+    )
+
+
+def _q119_oracle() -> str:
+    edges_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {_cite_bucket_sql(j)} AS dst FROM documents, n"
+        for j in range(_Q119_FANOUT)
+    )
+    sql = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+edges0 AS ({edges_sel}),
+edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents)
+"""
+    for t in range(1, _Q119_ITERS + 1):
+        sql += f""",
+r{t} AS (
+  SELECT d.doc_id,
+         CAST(150000 + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS r
+  FROM documents d
+  LEFT JOIN (
+    SELECT ed.dst AS doc_id, SUM(p.r // ed.outdeg) AS contrib
+    FROM ed JOIN r{t - 1} p ON p.doc_id = ed.src
+    GROUP BY ed.dst
+  ) s ON s.doc_id = d.doc_id
+)"""
+    sql += f"""
+SELECT doc_id, r AS rank_units
+FROM r{_Q119_ITERS}
+ORDER BY rank_units DESC, doc_id ASC
+LIMIT {_Q119_TOPK}
+"""
+    return sql
+
+
+@register("q119_pagerank", oracle=_q119_oracle())
+def q119_pagerank(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+
+    cite = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{j}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_docs
+        ).alias("dst")
+        for j in range(_Q119_FANOUT)
+    ]
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), F.explode(F.array(*cite)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    # fanout=3 per source: the src->outdeg attach never moves the big side
+    ed = edges.join(F.broadcast(deg), "src")
+
+    ranks = docs.select("doc_id", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_Q119_ITERS):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(F.col("dst").alias("doc_id"), F.expr("r div outdeg").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = docs.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(contrib, 0L) div 100")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return (
+        ranks.select("doc_id", F.col("r").alias("rank_units"))
+        .orderBy(F.desc("rank_units"), F.asc("doc_id"))
+        .limit(_Q119_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q120: CLUSTERING-AGREEMENT RAND INDEX — pair-counting agreement
+# between the stored assignment (label) and a re-derived geometric one
+# (3-bit sign bucket of the embedding's leading components). This is
+# the snapshot-drift monitor for an embedding/cluster index: RI near 1
+# means the new partition agrees with the stored one.
+#
+# Everything reduces to the contingency table n_ij = |label i ∩ bucket
+# j| — one mergeable groupBy; all pair counts are BIGINT binomials
+# (c*(c-1))/2 so the only double op is the final single division.
+# Scale shape: the contingency table has ≤ |labels|*|buckets| cells
+# regardless of corpus size; the whole metric is one map-side-combined
+# shuffle plus constant-size arithmetic.
+_Q120_ORACLE = """
+WITH cells AS (
+  SELECT label,
+         (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM embeddings GROUP BY 1, 2
+),
+a AS (SELECT SUM(c * (c - 1) // 2) AS sa
+      FROM (SELECT SUM(c) AS c FROM cells GROUP BY label)),
+b AS (SELECT SUM(c * (c - 1) // 2) AS sb
+      FROM (SELECT SUM(c) AS c FROM cells GROUP BY bucket)),
+ij AS (SELECT SUM(c * (c - 1) // 2) AS sij, SUM(c) AS n,
+              CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+SELECT CAST(ij.n AS BIGINT) AS n_points,
+       ij.n_cells,
+       CAST(ij.sij AS BIGINT) AS pairs_both,
+       CAST(a.sa AS BIGINT) AS pairs_a,
+       CAST(b.sb AS BIGINT) AS pairs_b,
+       ROUND(
+         CAST(ij.n * (ij.n - 1) // 2 + 2 * ij.sij - a.sa - b.sb AS DOUBLE)
+         / CAST(ij.n * (ij.n - 1) // 2 AS DOUBLE), 6) AS rand_index
+FROM ij, a, b
+"""
+
+
+@register("q120_cluster_drift", oracle=_Q120_ORACLE)
+def q120_cluster_drift(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.col("embedding").getItem(0) >= 0, 4).otherwise(0)
+        + F.when(F.col("embedding").getItem(1) >= 0, 2).otherwise(0)
+        + F.when(F.col("embedding").getItem(2) >= 0, 1).otherwise(0)
+    )
+    cells = emb.groupBy("label", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    pairs = lambda c: F.expr(f"{c} * ({c} - 1) div 2")  # noqa: E731
+    a = cells.groupBy("label").agg(F.sum("c").alias("c")).agg(
+        F.sum(pairs("c")).alias("sa")
+    )
+    b = cells.groupBy("bucket").agg(F.sum("c").alias("c")).agg(
+        F.sum(pairs("c")).alias("sb")
+    )
+    ij = cells.agg(
+        F.sum(pairs("c")).alias("sij"),
+        F.sum("c").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    total = F.expr("n * (n - 1) div 2")
+    return (
+        ij.crossJoin(a)
+        .crossJoin(b)
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            "n_cells",
+            F.col("sij").cast("long").alias("pairs_both"),
+            F.col("sa").cast("long").alias("pairs_a"),
+            F.col("sb").cast("long").alias("pairs_b"),
+            F.round(
+                (total + 2 * F.col("sij") - F.col("sa") - F.col("sb")).cast("double")
+                / total.cast("double"),
+                6,
+            ).alias("rand_index"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q121: ROUGE-1/ROUGE-2 EVAL — clipped-multiset n-gram
+# precision/recall/F1 between paired documents (even doc d = reference,
+# d+1 = candidate): the summarization-eval metric as dataflow. Clipped
+# counts are SUM(LEAST(c_ref, c_cand)) over an n-gram equi-join of the
+# two per-doc term-frequency tables; P, R, F1 are each ONE division of
+# exact BIGINTs (F1 = 2*overlap/(cand_total + ref_total), the
+# algebraically reduced form, so no compounded float ops).
+# Scale shape: per-doc TF tables explode map-side; the pair join is
+# keyed by (pair_id, gram) — no all-pairs blowup, candidate pairing is
+# an id equi-join.
+_Q121_TOPK = 100
+
+
+def _tf_sql(gram: str) -> str:
+    if gram == "uni":
+        grams = "SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents"
+    else:
+        grams = """
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             UNNEST(range(1, len(t))) AS u(i)
+        """
+    return f"SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM ({grams}) WHERE g != '' GROUP BY 1, 2"
+
+
+_Q121_ORACLE = f"""
+WITH tf1 AS ({_tf_sql("uni")}),
+tf2 AS ({_tf_sql("bi")}),
+o1 AS (
+  SELECT r.doc_id AS ref_id, SUM(LEAST(r.c, cnd.c)) AS ov
+  FROM tf1 r JOIN tf1 cnd ON cnd.doc_id = r.doc_id + 1 AND cnd.g = r.g
+  WHERE r.doc_id % 2 = 0 GROUP BY 1
+),
+o2 AS (
+  SELECT r.doc_id AS ref_id, SUM(LEAST(r.c, cnd.c)) AS ov
+  FROM tf2 r JOIN tf2 cnd ON cnd.doc_id = r.doc_id + 1 AND cnd.g = r.g
+  WHERE r.doc_id % 2 = 0 GROUP BY 1
+),
+tot1 AS (SELECT doc_id, SUM(c) AS t FROM tf1 GROUP BY 1),
+tot2 AS (SELECT doc_id, SUM(c) AS t FROM tf2 GROUP BY 1),
+pairs AS (
+  SELECT r.doc_id AS ref_id,
+         COALESCE(o1.ov, 0) AS ov1, COALESCE(o2.ov, 0) AS ov2,
+         r1.t AS rt1, c1.t AS ct1, r2.t AS rt2, c2.t AS ct2
+  FROM documents r
+  JOIN documents c ON c.doc_id = r.doc_id + 1
+  JOIN tot1 r1 ON r1.doc_id = r.doc_id
+  JOIN tot1 c1 ON c1.doc_id = c.doc_id
+  JOIN tot2 r2 ON r2.doc_id = r.doc_id
+  JOIN tot2 c2 ON c2.doc_id = c.doc_id
+  LEFT JOIN o1 ON o1.ref_id = r.doc_id
+  LEFT JOIN o2 ON o2.ref_id = r.doc_id
+  WHERE r.doc_id % 2 = 0
+)
+SELECT ref_id,
+       ROUND(CAST(ov1 AS DOUBLE) / ct1, 6) AS rouge1_p,
+       ROUND(CAST(ov1 AS DOUBLE) / rt1, 6) AS rouge1_r,
+       ROUND(CAST(2 * ov1 AS DOUBLE) / (ct1 + rt1), 6) AS rouge1_f,
+       ROUND(CAST(2 * ov2 AS DOUBLE) / (ct2 + rt2), 6) AS rouge2_f
+FROM pairs
+ORDER BY rouge1_f DESC, ref_id ASC
+LIMIT {_Q121_TOPK}
+"""
+
+
+def _tf_spark(docs, gram: str):
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("t")
+    )
+    if gram == "uni":
+        g = toks.select("doc_id", F.explode("t").alias("g"))
+    else:
+        bi = F.transform(
+            F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("t"), i + 2)),
+        )
+        g = toks.select("doc_id", F.explode(bi).alias("g"))
+    return g.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+
+
+def _clipped_overlap(tf):
+    ref = tf.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("rc")
+    )
+    cand = tf.select((F.col("doc_id") - 1).alias("ref_id"), "g", F.col("c").alias("cc"))
+    return (
+        ref.join(cand, ["ref_id", "g"])
+        .groupBy("ref_id")
+        .agg(F.sum(F.least("rc", "cc")).alias("ov"))
+    )
+
+
+@register("q121_rouge_eval", oracle=_Q121_ORACLE)
+def q121_rouge_eval(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tf1 = _tf_spark(docs, "uni")
+    tf2 = _tf_spark(docs, "bi")
+    tot1 = tf1.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    tot2 = tf2.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    o1 = _clipped_overlap(tf1)
+    o2 = _clipped_overlap(tf2)
+    refs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("ref_id")
+    )
+    cands = docs.select((F.col("doc_id") - 1).alias("ref_id"))
+    base = (
+        refs.join(cands, "ref_id")
+        .join(tot1.select(F.col("doc_id").alias("ref_id"), F.col("t").alias("rt1")), "ref_id")
+        .join(
+            tot1.select((F.col("doc_id") - 1).alias("ref_id"), F.col("t").alias("ct1")),
+            "ref_id",
+        )
+        .join(tot2.select(F.col("doc_id").alias("ref_id"), F.col("t").alias("rt2")), "ref_id")
+        .join(
+            tot2.select((F.col("doc_id") - 1).alias("ref_id"), F.col("t").alias("ct2")),
+            "ref_id",
+        )
+        .join(o1.withColumnRenamed("ov", "ov1"), "ref_id", "left")
+        .join(o2.withColumnRenamed("ov", "ov2"), "ref_id", "left")
+        .fillna({"ov1": 0, "ov2": 0})
+    )
+    return (
+        base.select(
+            "ref_id",
+            F.round(F.col("ov1").cast("double") / F.col("ct1"), 6).alias("rouge1_p"),
+            F.round(F.col("ov1").cast("double") / F.col("rt1"), 6).alias("rouge1_r"),
+            F.round(
+                (2 * F.col("ov1")).cast("double") / (F.col("ct1") + F.col("rt1")), 6
+            ).alias("rouge1_f"),
+            F.round(
+                (2 * F.col("ov2")).cast("double") / (F.col("ct2") + F.col("rt2")), 6
+            ).alias("rouge2_f"),
+        )
+        .orderBy(F.desc("rouge1_f"), F.asc("ref_id"))
+        .limit(_Q121_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# q122: ONE BPE MERGE STEP — the tokenizer-training inner loop as
+# set-oriented dataflow: (1) count adjacent token pairs corpus-wide,
+# (2) pick the argmax merge (tie-break lexicographic; pairs with
+# w1 == w2 are excluded so occurrences cannot overlap and "apply the
+# merge everywhere" is well-defined without greedy left-to-right
+# state), (3) rewrite every sequence applying the merge, (4) recount —
+# emitting the before/after top candidate tables an actual BPE trainer
+# would consult on successive iterations.
+# Scale shape: pair counting is explode + mergeable groupBy; the argmax
+# is a global top-1 (TakeOrderedAndProject); the rewrite is map-side
+# array surgery per document (no shuffle); the recount is one more
+# mergeable groupBy. One training step = 2 count shuffles, independent
+# of vocabulary size.
+_Q122_TOPK = 10
+
+_Q122_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+p0 AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT w1, w2 FROM p0 WHERE w1 <> w2
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+merged AS (
+  SELECT doc_id, list_filter(
+    list_transform(t, (x, i) ->
+      CASE
+        WHEN x = b.w1 AND i < len(t) AND t[i + 1] = b.w2 THEN b.w1 || '_' || b.w2
+        WHEN i > 1 AND t[i - 1] = b.w1 AND x = b.w2 THEN ''
+        ELSE x
+      END),
+    x -> x != '') AS t
+  FROM toks, best b
+),
+p1 AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM merged, UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2
+),
+top0 AS (
+  SELECT 0 AS stage, w1, w2, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rnk
+  FROM p0 WHERE w1 <> w2
+),
+top1 AS (
+  SELECT 1 AS stage, w1, w2, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rnk
+  FROM p1 WHERE w1 <> w2
+)
+SELECT stage, CAST(rnk AS BIGINT) AS rnk, w1, w2, cnt
+FROM (SELECT * FROM top0 WHERE rnk <= {_Q122_TOPK}
+      UNION ALL
+      SELECT * FROM top1 WHERE rnk <= {_Q122_TOPK})
+ORDER BY stage, rnk
+"""
+
+
+def _adjacent_pairs(toks):
+    bi = F.transform(
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(F.col("t"), i + 2).alias("w2")
+        ),
+    )
+    return (
+        toks.select(F.explode(bi).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _topk_pairs(pairs, stage: int):
+    from pyspark.sql import Window
+
+    # distributed top-k FIRST (TakeOrderedAndProject over the pair
+    # vocabulary), THEN a rank window over the K survivors — a global
+    # ROW_NUMBER over all pairs would single-partition the vocabulary
+    top = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(_Q122_TOPK)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        F.lit(stage).alias("stage"), "rnk", "w1", "w2", "cnt"
+    )
+
+
+@register("q122_bpe_merge", oracle=_Q122_ORACLE)
+def q122_bpe_merge(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t")
+    )
+    p0 = _adjacent_pairs(toks)
+    best = (
+        p0.filter(F.col("w1") != F.col("w2"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .select(F.col("w1").alias("bw1"), F.col("w2").alias("bw2"))
+    )
+    # the merge pair is a 1-row broadcast: the rewrite stays map-side
+    with_best = toks.crossJoin(F.broadcast(best))
+    # F.get is 0-indexed and returns NULL out of range (never an ANSI
+    # index error), and a NULL comparison makes the WHEN fall through —
+    # exactly the boundary semantics the oracle's 1-indexed t[i±1] has
+    rewritten = with_best.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.col("t"),
+                lambda x, i: F.when(
+                    (x == F.col("bw1"))
+                    & (F.get(F.col("t"), i + 1) == F.col("bw2")),
+                    F.concat_ws("_", F.col("bw1"), F.col("bw2")),
+                )
+                .when(
+                    (F.get(F.col("t"), i - 1) == F.col("bw1"))
+                    & (x == F.col("bw2")),
+                    F.lit(""),
+                )
+                .otherwise(x),
+            ),
+            lambda x: x != F.lit(""),
+        ).alias("t"),
+    )
+    p1 = _adjacent_pairs(rewritten)
+    return _topk_pairs(p0, 0).unionAll(_topk_pairs(p1, 1)).orderBy("stage", "rnk")
+
+
+# --------------------------------------------------------------------------
+# q123: HARD-NEGATIVE MINING (DPR-style) — for each query vector
+# (vec_id % 50 == 0), the top-5 most-similar vectors whose label
+# DIFFERS from the query's: the contrastive-training pairs an
+# embedding-model pipeline mines after dedup. Exact-cosine baseline;
+# the 100 TB path swaps the scored cross join for the IVF candidate
+# join (q46) or the LSH bucket join (q34) — same ranking tail.
+# Ordering uses the ROUNDED cosine (6 dp) + vec_id so ranks are
+# engine-stable; the query set is a broadcast (n/50 rows), scoring is
+# map-side over the embedding scan, and the per-query top-k is one
+# window over the query key.
+_Q123_K = 5
+_Q123_STRIDE = 50
+_Q123_DIM = 64
+
+_Q123_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+  FROM embeddings WHERE vec_id % {_Q123_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+         ROUND(
+           list_sum(list_transform(range(1, {_Q123_DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(range(1, {_Q123_DIM + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, {_Q123_DIM + 1}),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) ),
+           6) AS cosine
+  FROM embeddings e JOIN q ON e.label <> q.qlabel
+)
+SELECT query_id, neg_id, neg_label, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neg_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_Q123_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("q123_hard_negatives", oracle=_Q123_ORACLE)
+def q123_hard_negatives(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkextract.queries.vector import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _Q123_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                _dot(F.col("embedding"), F.col("qv"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _Q123_K)
+        .orderBy("query_id", "rnk")
+    )

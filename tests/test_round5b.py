@@ -1,0 +1,123 @@
+"""Property tests for the round-5 final-wave operators (q119–q123):
+PageRank mass/floor invariants, Rand-index bounds, ROUGE harmonic-mean
+bound, BPE merge exhaustiveness on a constructed corpus, hard-negative
+label exclusion."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkextract.spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("sparkextract-r5b-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def test_q119_pagerank_invariants(spark):
+    """Every rank ≥ the damping floor (150000 micro-units), the top-20
+    is sorted by (rank desc, doc_id asc), and total rank mass never
+    exceeds the undamped total n*1e6 (floor division only loses mass)."""
+    from sparkextract.queries.round5b import q119_pagerank
+
+    rows = q119_pagerank(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    ranks = [r.rank_units for r in rows]
+    assert all(r >= 150000 for r in ranks)
+    keys = [(-r.rank_units, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # the top-20 of a 500-doc graph holds well under the total mass
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    assert sum(ranks) <= n_docs * 1_000_000
+
+
+def test_q120_rand_index_bounds(spark):
+    """RI ∈ [0,1]; same-pair count in the intersection is bounded by
+    each marginal's same-pair count (cells refine both partitions)."""
+    from sparkextract.queries.round5b import q120_cluster_drift
+
+    row = q120_cluster_drift(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.rand_index <= 1.0
+    assert row.pairs_both <= row.pairs_a
+    assert row.pairs_both <= row.pairs_b
+    assert row.n_cells <= 10 * 8  # |labels| x |sign buckets|
+
+
+def test_q121_rouge_bounds(spark):
+    """P, R, F1 ∈ [0,1] and F1 (harmonic mean) sits between min(P, R)
+    and max(P, R), within the 6-dp rounding quantum, for every pair."""
+    from sparkextract.queries.round5b import q121_rouge_eval
+
+    rows = q121_rouge_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for v in (r.rouge1_p, r.rouge1_r, r.rouge1_f, r.rouge2_f):
+            assert 0.0 <= v <= 1.0
+        assert (
+            min(r.rouge1_p, r.rouge1_r) - 1e-6
+            <= r.rouge1_f
+            <= max(r.rouge1_p, r.rouge1_r) + 1e-6
+        )
+
+
+def _write_docs(spark, rows, path):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+def test_q122_bpe_merge_constructed(spark, tmp_path):
+    """On a corpus where 'aa bb' is the clear winner: stage 0 ranks it
+    first, and after the merge no (aa, bb) adjacency survives anywhere
+    while the merged token participates in stage-1 pairs."""
+    from sparkextract.queries.round5b import q122_bpe_merge
+
+    root = str(tmp_path)
+    rows = [
+        (0, "aa bb cc aa bb", "en", "s", 14),
+        (1, "cc aa bb dd", "en", "s", 11),
+        (2, "aa bb aa bb aa", "en", "s", 14),
+        (3, "dd cc dd", "en", "s", 8),
+    ]
+    _write_docs(spark, rows, root)
+    out = q122_bpe_merge(spark, root).collect()
+    s0 = [r for r in out if r.stage == 0]
+    s1 = [r for r in out if r.stage == 1]
+    assert (s0[0].w1, s0[0].w2, s0[0].cnt) == ("aa", "bb", 5)
+    assert all((r.w1, r.w2) != ("aa", "bb") for r in s1)
+    assert any("aa_bb" in (r.w1, r.w2) for r in s1)
+    # doc 2 "aa bb aa bb aa" -> [aa_bb, aa_bb, aa]; doc 0 and doc 1
+    # each produce one (cc, aa_bb) adjacency. (aa_bb, aa_bb) itself is
+    # excluded from the ranked table by the same w1<>w2 rule the argmax
+    # uses.
+    s1_counts = {(r.w1, r.w2): r.cnt for r in s1}
+    assert s1_counts.get(("aa_bb", "aa")) == 1
+    assert s1_counts.get(("cc", "aa_bb")) == 2
+
+
+def test_q123_hard_negatives_exclusion(spark):
+    """No mined negative shares the query's label; ranks are 1..k dense
+    per query and cosines are non-increasing within a query."""
+    from sparkextract.queries.round5b import _Q123_STRIDE, q123_hard_negatives
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qlabels = {
+        r.vec_id: r.label
+        for r in emb.filter(F.col("vec_id") % _Q123_STRIDE == 0).collect()
+    }
+    rows = q123_hard_negatives(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert r.neg_label != qlabels[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r.cosine for r in rs]
+        assert cs == sorted(cs, reverse=True)

@@ -83,6 +83,9 @@ HEADLINE = [
     "q105_deterministic_shuffle",
     "q110_semantic_dedup",
     "q111_pq_adc_topk",
+    "q119_pagerank",
+    "q121_rouge_eval",
+    "q122_bpe_merge",
 ]
 
 

@@ -582,3 +582,109 @@ def q123_hard_negatives(spark, sf_dir):
         .filter(F.col("rnk") <= _Q123_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q124: CONTAINMENT DEDUP (Broder 1997) — the ASYMMETRIC companion to
+# the Jaccard family (q20/q34/q53): containment C(A,B) = |A∩B| / |A|
+# catches a document embedded inside a larger one (boilerplate wrap,
+# quote-and-extend, page concatenation), which symmetric Jaccard
+# dilutes below threshold. Shingle sets are word-trigram md5 keys;
+# candidate pairs come from a min-shingle equi-join (each doc carries
+# ONE candidate key, so candidate generation is a keyed self-join —
+# never corpus all-pairs; a hot min-shingle would get the q96 salt
+# treatment at scale); exact bidirectional containment is then computed
+# on the candidates' shingle arrays and classified:
+#   mutual_dup (both ≥ 0.9) / left_in_right / right_in_left (one side
+#   ≥ 0.9) / overlap otherwise — emitted for max(c) ≥ 0.5.
+# Ratios are single divisions of exact set cardinalities, ROUND(...,6).
+_Q124_HI = 0.9
+_Q124_LO = 0.5
+
+_Q124_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 2 + 1),
+           i -> md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS s
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+keyed AS (SELECT doc_id, s, list_min(s) AS k FROM sh),
+cand AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         LENGTH(list_intersect(a.s, b.s)) AS inter,
+         LENGTH(a.s) AS na, LENGTH(b.s) AS nb
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT left_id, right_id,
+       ROUND(CAST(inter AS DOUBLE) / na, 6) AS c_left,
+       ROUND(CAST(inter AS DOUBLE) / nb, 6) AS c_right,
+       CASE
+         WHEN inter >= {_Q124_HI} * na AND inter >= {_Q124_HI} * nb THEN 'mutual_dup'
+         WHEN inter >= {_Q124_HI} * na THEN 'left_in_right'
+         WHEN inter >= {_Q124_HI} * nb THEN 'right_in_left'
+         ELSE 'overlap'
+       END AS relation
+FROM cand
+WHERE inter >= {_Q124_LO} * na OR inter >= {_Q124_LO} * nb
+ORDER BY left_id, right_id
+"""
+
+
+@register("q124_containment_dedup", oracle=_Q124_ORACLE)
+def q124_containment_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t")
+    ).filter(F.size("t") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+            )
+        ),
+    )
+    keyed = toks.select(
+        "doc_id", F.array_distinct(tri).alias("s")
+    ).withColumn("k", F.array_min("s"))
+    a = keyed.select(
+        F.col("doc_id").alias("left_id"), F.col("s").alias("sa"), "k"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("right_id"), F.col("s").alias("sb"), "k"
+    )
+    cand = a.join(b, "k").filter(F.col("left_id") < F.col("right_id")).select(
+        "left_id",
+        "right_id",
+        F.size(F.array_intersect("sa", "sb")).alias("inter"),
+        F.size("sa").alias("na"),
+        F.size("sb").alias("nb"),
+    )
+    hi, lo = F.lit(_Q124_HI), F.lit(_Q124_LO)
+    rel = (
+        F.when(
+            (F.col("inter") >= hi * F.col("na")) & (F.col("inter") >= hi * F.col("nb")),
+            "mutual_dup",
+        )
+        .when(F.col("inter") >= hi * F.col("na"), "left_in_right")
+        .when(F.col("inter") >= hi * F.col("nb"), "right_in_left")
+        .otherwise("overlap")
+    )
+    return (
+        cand.filter(
+            (F.col("inter") >= lo * F.col("na")) | (F.col("inter") >= lo * F.col("nb"))
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("inter").cast("double") / F.col("na"), 6).alias("c_left"),
+            F.round(F.col("inter").cast("double") / F.col("nb"), 6).alias("c_right"),
+            rel.alias("relation"),
+        )
+        .orderBy("left_id", "right_id")
+    )

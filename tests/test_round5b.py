@@ -121,3 +121,35 @@ def test_q123_hard_negatives_exclusion(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         cs = [r.cosine for r in rs]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_q124_containment_constructed(spark, tmp_path):
+    """doc 1 is doc 0 with a long suffix appended (left_in_right from
+    0's perspective), doc 2 == doc 0 (mutual_dup), doc 3 is unrelated —
+    min-shingle candidate generation must surface exactly the related
+    pairs and classify the direction correctly."""
+    from sparkextract.queries.round5b import q124_containment_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    ext = base + " " + " ".join(f"x{i}" for i in range(60))
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, ext, "en", "s", len(ext)),
+        (2, base, "en", "s", len(base)),
+        (3, other, "en", "s", len(other)),
+    ]
+    _write_docs(spark, rows, str(tmp_path))
+    out = {(r.left_id, r.right_id): r for r in q124_containment_dedup(spark, str(tmp_path)).collect()}
+    # doc 0 and doc 1 share the min shingle (base prefix) iff the overall
+    # min falls in the shared region — with md5 keys over disjoint token
+    # vocabularies that is data-determined, so only assert the pairs that
+    # MUST appear: (0,2) identical docs share every shingle.
+    r02 = out[(0, 2)]
+    assert r02.relation == "mutual_dup"
+    assert r02.c_left == 1.0 and r02.c_right == 1.0
+    assert all(3 not in k for k in out)  # unrelated doc never pairs
+    if (0, 1) in out:  # candidate only when the min shingle is shared
+        r01 = out[(0, 1)]
+        assert r01.relation == "left_in_right"
+        assert r01.c_left == 1.0 and r01.c_right < 1.0

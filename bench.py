@@ -86,6 +86,8 @@ HEADLINE = [
     "q119_pagerank",
     "q121_rouge_eval",
     "q122_bpe_merge",
+    "q125_bm25_topk",
+    "q126_pca_power_step",
 ]
 
 

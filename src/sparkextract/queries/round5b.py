@@ -688,3 +688,240 @@ def q124_containment_dedup(spark, sf_dir):
         )
         .orderBy("left_id", "right_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q125: OKAPI BM25 TOP-K RETRIEVAL (Robertson & Walker 1994) — the
+# length-normalized ranked-retrieval companion to q73's TF-IDF (the
+# reference's keyword-overlap retrieval surface,
+# /root/reference/src/rag/rag_pipeline.py:561-564, graduated to the
+# standard IR scoring function). Query set is deterministic: every
+# doc_id % 50 == 0 document contributes its 5 lexicographically-
+# smallest distinct tokens as a bag-of-words query; each query is
+# scored against the whole corpus and the top-5 docs emitted (the
+# query's own source doc naturally self-retrieves — the rank-1 sanity
+# anchor).
+#
+# Numeric discipline: per-(query,doc,term) contribution
+#   idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)),  k1=1.2, b=0.75
+# is ROUND(...,6)-ed and cast DECIMAL(18,6); per-doc scores are then
+# EXACT decimal sums (order-free — never a float accumulation across
+# terms), compared exactly by the ranking window, and cast to double
+# once at the end. 1-b = 0.25 and all literals are doubles in BOTH
+# engines (DuckDB bare 1.2 would be DECIMAL(2,1) — every literal is
+# CAST ... AS DOUBLE in the oracle); ln() is the only per-engine op
+# and sits inside the rounded contribution (the q73 discipline).
+#
+# Scale shape: tf table = 1 groupBy shuffle; dl = 1 doc-keyed groupBy;
+# df joined only for the <=|Q|*5 query terms (qterms JOIN df, then the
+# small result BROADCAST onto the tf scan — candidate generation is
+# map-side, never a vocab-wide shuffle join); dl joins only the
+# surviving candidates; avgdl is a broadcast 1-row aggregate; per-query
+# top-k is a query_id-keyed window. Nothing is quadratic in the corpus.
+_Q125_K = 5
+_Q125_STRIDE = 50
+_Q125_QTERMS = 5
+
+_Q125_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE LENGTH(t) >= 2
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+qterms AS (
+  SELECT doc_id AS query_id, token FROM (
+    SELECT doc_id, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) AS tn
+    FROM tf WHERE doc_id % {_Q125_STRIDE} = 0
+  ) WHERE tn <= {_Q125_QTERMS}
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ROUND(
+           LN(CAST(1 AS DOUBLE)
+              + (CAST(s.n_docs - dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / s.avgdl)))
+         , 6) AS DECIMAL(18,6)) AS c
+  FROM qterms q
+  JOIN dfx ON dfx.token = q.token
+  JOIN tf ON tf.token = q.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, SUM(c) AS sc FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(sc AS DOUBLE) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk
+  FROM scores
+) WHERE rnk <= {_Q125_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("q125_bm25_topk", oracle=_Q125_ORACLE)
+def q125_bm25_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkextract.queries.base import checkpoint_memo
+
+    def _build_tf():
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        ).filter(F.length("token") >= 2)
+        return toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+
+    # tf feeds FOUR subtrees (dl, avgdl stats, df, query terms, candidates)
+    # — materialize the tokenized corpus once per (session, input) instead
+    # of re-scanning the documents parquet per subtree (the q68/q94 memo
+    # discipline; at real scale this is the tokenized-corpus table write)
+    tf = checkpoint_memo(spark, sf_dir, "q125_tf", _build_tf)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfx = tf.groupBy("token").agg(F.count("*").alias("df"))
+    wq = Window.partitionBy("doc_id").orderBy("token")
+    qterms = (
+        tf.filter(F.col("doc_id") % _Q125_STRIDE == 0)
+        .withColumn("tn", F.row_number().over(wq))
+        .filter(F.col("tn") <= _Q125_QTERMS)
+        .select(F.col("doc_id").alias("query_id"), "token")
+    )
+    # df only for the query terms: tiny qterms drives the vocab join,
+    # and the enriched (query_id, token, df) result broadcasts onto the
+    # tf scan so candidate generation never shuffles the corpus by token
+    qinfo = qterms.join(dfx, "token")
+    cand = tf.join(F.broadcast(qinfo), "token").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tff = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scores = (
+        cand.select(
+            "query_id", "doc_id", F.round(idf * tff, 6).cast("decimal(18,6)").alias("c")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("sc"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sc"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _Q125_K)
+        .select("query_id", "rnk", "doc_id", F.col("sc").cast("double").alias("score"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q126: ONE PCA POWER-ITERATION STEP (dominant singular direction of the
+# uncentered embedding matrix) — the q52/q122 "one training step as
+# set-oriented dataflow" pattern applied to the spectral family: the
+# whitening / dimensionality-reduction pass an embedding pipeline runs
+# before indexing. Start vector v0 = (1/8, ..., 1/8) (1/8 is exact in
+# both binary and decimal, so the row projection r = (sum_j x_j)/8 is
+# EXACT decimal arithmetic); the step computes w = X^T (X v0) in fully
+# exact decimals, rounds each component ONCE in the decimal domain
+# (half-away-from-zero on exact decimals — identical in both engines,
+# no float in the accumulation path), and normalizes by the lone double
+# sqrt (the q52 tail discipline). Emits per dimension: the raw
+# covariance-action component w, the normalized component v1, and the
+# Rayleigh-style norm lambda_est (the power-method eigenvalue estimate).
+#
+# Scale shape: per-row projection is a vec_id-keyed groupBy of the
+# exploded components (map-side combinable); the X^T pass shuffles only
+# (dim, partial-sum) — 64 groups regardless of corpus size; the norm is
+# a broadcast 1-row aggregate. One power step = 2 mergeable shuffles,
+# the same cost envelope as one q52 Lloyd's step.
+_Q126_DIM = 64
+
+_Q126_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS dim0,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 3) AS DECIMAL(10,4)) AS x
+  FROM embeddings
+  CROSS JOIN (SELECT UNNEST(range(1, {_Q126_DIM + 1})) AS i) ii
+),
+rs AS (
+  SELECT vec_id,
+         CAST(SUM(x) * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(15,7)) AS r
+  FROM ex GROUP BY vec_id
+),
+w AS (
+  SELECT dim0, CAST(ROUND(SUM(x * r), 6) AS DECIMAL(18,6)) AS w6
+  FROM ex JOIN rs USING (vec_id) GROUP BY dim0
+),
+nrm AS (
+  SELECT ROUND(SQRT(CAST(SUM(w6 * w6) AS DOUBLE)), 6) AS lambda_est FROM w
+)
+SELECT CAST(dim0 AS BIGINT) AS dim0,
+       CAST(w6 AS DOUBLE) AS w,
+       ROUND(CAST(w6 AS DOUBLE) / lambda_est, 6) AS v1,
+       lambda_est
+FROM w CROSS JOIN nrm
+ORDER BY dim0
+"""
+
+
+@register("q126_pca_power_step", oracle=_Q126_ORACLE)
+def q126_pca_power_step(spark, sf_dir):
+    from decimal import Decimal
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim0", "xe")).select(
+        "vec_id",
+        "dim0",
+        F.round(F.col("xe").cast("double"), 3).cast("decimal(10,4)").alias("x"),
+    )
+    rs = ex.groupBy("vec_id").agg(
+        (F.sum("x") * F.lit(Decimal("0.125"))).cast("decimal(15,7)").alias("r")
+    )
+    w = (
+        ex.join(rs, "vec_id")
+        .groupBy("dim0")
+        .agg(F.round(F.sum(F.col("x") * F.col("r")), 6).cast("decimal(18,6)").alias("w6"))
+    )
+    nrm = w.agg(
+        F.round(
+            F.sqrt(F.sum(F.col("w6") * F.col("w6")).cast("double")), 6
+        ).alias("lambda_est")
+    )
+    return (
+        w.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("dim0").cast("long").alias("dim0"),
+            F.col("w6").cast("double").alias("w"),
+            F.round(F.col("w6").cast("double") / F.col("lambda_est"), 6).alias("v1"),
+            "lambda_est",
+        )
+        .orderBy("dim0")
+    )

@@ -153,3 +153,56 @@ def test_q124_containment_constructed(spark, tmp_path):
         r01 = out[(0, 1)]
         assert r01.relation == "left_in_right"
         assert r01.c_left == 1.0 and r01.c_right < 1.0
+
+
+def test_q125_bm25_constructed(spark, tmp_path):
+    """Query doc 0 (doc_id % 50 == 0) self-retrieves at rank 1; with
+    identical tf for a query term, the shorter doc outranks the longer
+    one (BM25 length normalization); docs sharing no query term never
+    appear."""
+    from sparkextract.queries.round5b import q125_bm25_topk
+
+    pad_s = " ".join(f"pad{chr(97 + i)}" for i in range(5))
+    pad_l = " ".join(f"quux{chr(97 + i)}{chr(97 + j)}" for i in range(8) for j in range(5))
+    rows = [
+        (0, "alpha beta gamma delta echo", "en", "s", 27),
+        (1, "alpha " + pad_s, "en", "s", 20),       # short, tf(alpha)=1
+        (2, "alpha " + pad_l, "en", "s", 120),      # long,  tf(alpha)=1
+        (3, "zz yy xx ww vv", "en", "s", 14),       # no query term
+    ]
+    _write_docs(spark, rows, str(tmp_path))
+    out = q125_bm25_topk(spark, str(tmp_path)).collect()
+    assert all(r.query_id == 0 for r in out)
+    by_rank = {r.rnk: r for r in out}
+    assert by_rank[1].doc_id == 0            # self-retrieval anchor
+    assert all(r.doc_id != 3 for r in out)   # no shared term -> absent
+    s1 = next(r.score for r in out if r.doc_id == 1)
+    s2 = next(r.score for r in out if r.doc_id == 2)
+    assert s1 > s2                           # shorter doc wins at equal tf
+    scores = [by_rank[i].score for i in sorted(by_rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_q126_pca_power_step_numpy(spark):
+    """One power step equals the numpy computation w = X^T (X v0) on the
+    3-decimal-quantized matrix (within the 6-dp output rounding), v1 is
+    unit-norm within rounding, and lambda_est = ||w||."""
+    import numpy as np
+
+    from sparkextract.queries.round5b import q126_pca_power_step
+
+    out = sorted(q126_pca_power_step(spark, SF_DIR).collect(), key=lambda r: r.dim0)
+    assert [r.dim0 for r in out] == list(range(64))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    X = np.round(
+        np.array([r.embedding for r in emb.select("embedding").collect()], dtype=np.float64),
+        3,
+    )
+    w_np = X.T @ (X @ np.full(64, 0.125))
+    w_sp = np.array([r.w for r in out])
+    assert np.max(np.abs(w_sp - w_np)) < 5e-5
+    lam = out[0].lambda_est
+    assert all(r.lambda_est == lam for r in out)
+    assert abs(lam - float(np.linalg.norm(w_sp))) < 5e-4
+    v1 = np.array([r.v1 for r in out])
+    assert abs(float(v1 @ v1) - 1.0) < 1e-4

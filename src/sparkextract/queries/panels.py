@@ -305,7 +305,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # retrieval compositions: rerank top-k; full kNN->dedup->rerank->budget.
     "panel_retrieval": (
         [("vec_id", "long"), ("cosine", "double"), ("overlap", "int"),
-         ("rerank_score", "double"), ("cum_chars", "long")],
+         ("rerank_score", "double"), ("cum_chars", "long"),
+         ("query_id", "long"), ("rnk", "long"), ("doc_id", "long"),
+         ("r_bm25", "long"), ("r_tfidf", "long"), ("fused_units", "long")],
         [
             ("rerank_topk", "q55_rerank_topk",
              {"vec_id": "vec_id", "cosine": "cosine",
@@ -313,6 +315,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("pipeline", "q58_retrieval_pipeline",
              {"vec_id": "vec_id", "rerank_score": "rerank_score",
               "cum_chars": "cum_chars"}),
+            ("rrf_fusion", "q127_rrf_fusion",
+             {"query_id": "query_id", "rnk": "rnk", "doc_id": "doc_id",
+              "r_bm25": "r_bm25", "r_tfidf": "r_tfidf",
+              "fused_units": "fused_units"}),
         ],
     ),
     # event windows + temporal joins: rank-top-k per user; running

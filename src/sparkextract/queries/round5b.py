@@ -777,10 +777,13 @@ ORDER BY query_id, rnk
 """
 
 
-@register("q125_bm25_topk", oracle=_Q125_ORACLE)
-def q125_bm25_topk(spark, sf_dir):
-    from pyspark.sql import Window
-
+def _bm25_tf(spark, sf_dir):
+    """The (doc_id, token, tf) table q125/q127 score over, memoized:
+    tf feeds FOUR subtrees per query (dl, avgdl stats, df, query terms,
+    candidates) — materialize the tokenized corpus once per (session,
+    input) instead of re-scanning the documents parquet per subtree
+    (the q68/q94 memo discipline; at real scale this is the
+    tokenized-corpus table write)."""
     from sparkextract.queries.base import checkpoint_memo
 
     def _build_tf():
@@ -791,11 +794,14 @@ def q125_bm25_topk(spark, sf_dir):
         ).filter(F.length("token") >= 2)
         return toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
 
-    # tf feeds FOUR subtrees (dl, avgdl stats, df, query terms, candidates)
-    # — materialize the tokenized corpus once per (session, input) instead
-    # of re-scanning the documents parquet per subtree (the q68/q94 memo
-    # discipline; at real scale this is the tokenized-corpus table write)
-    tf = checkpoint_memo(spark, sf_dir, "q125_tf", _build_tf)
+    return checkpoint_memo(spark, sf_dir, "q125_tf", _build_tf)
+
+
+@register("q125_bm25_topk", oracle=_Q125_ORACLE)
+def q125_bm25_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tf = _bm25_tf(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
@@ -924,4 +930,175 @@ def q126_pca_power_step(spark, sf_dir):
             "lambda_est",
         )
         .orderBy("dim0")
+    )
+
+
+# --------------------------------------------------------------------------
+# q127: RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
+# standard hybrid-retrieval combiner: two rankers score the same
+# candidate set (BM25, q125's formula, and TF-IDF, q73's formula — both
+# over the q125 query bags), each produces a per-query total-order rank,
+# and the fused score is sum over rankers of 1/(60+rank). The fusion is
+# computed in EXACT INTEGER micro-units — 10^9 div (60+rank), integer
+# division in both engines (Spark `div`, DuckDB `//`) — so the combined
+# score involves no float at any point (the q119 integer-PageRank
+# discipline applied to rank fusion); per-ranker scores stay in the
+# exact DECIMAL(18,6) domain from their ROUND(...,6)-ed contributions.
+# Both rankers score exactly the docs sharing >= 1 query term, so the
+# two rank lists are total orders over the SAME candidate set.
+#
+# Scale shape: identical to q125 (shared memoized tf table, query-term
+# df broadcast onto the tf scan, candidates shuffle once on
+# (query_id, doc_id)) plus three query_id-keyed windows — per-query
+# candidate lists are corpus-bounded but query-local, so every window
+# partition is small; nothing new is corpus-quadratic.
+_Q127_K = 5
+_Q127_RRF_C = 60
+
+_Q127_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+    FROM documents
+  ) WHERE LENGTH(t) >= 2
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+qterms AS (
+  SELECT doc_id AS query_id, token FROM (
+    SELECT doc_id, token,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY token) AS tn
+    FROM tf WHERE doc_id % {_Q125_STRIDE} = 0
+  ) WHERE tn <= {_Q125_QTERMS}
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(ROUND(
+           LN(CAST(1 AS DOUBLE)
+              + (CAST(s.n_docs - dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(dfx.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+              / (CAST(tf.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / s.avgdl)))
+         , 6) AS DECIMAL(18,6)) AS c_bm25,
+         CAST(ROUND(
+           CAST(tf.tf AS DOUBLE)
+           * LN((CAST(s.n_docs AS DOUBLE) + CAST(1 AS DOUBLE))
+                / (CAST(dfx.df AS DOUBLE) + CAST(1 AS DOUBLE)))
+         , 6) AS DECIMAL(18,6)) AS c_tfidf
+  FROM qterms q
+  JOIN dfx ON dfx.token = q.token
+  JOIN tf ON tf.token = q.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id,
+         SUM(c_bm25) AS sc_bm25, SUM(c_tfidf) AS sc_tfidf
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sc_bm25 DESC, doc_id) AS BIGINT)
+           AS r_bm25,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sc_tfidf DESC, doc_id) AS BIGINT)
+           AS r_tfidf
+  FROM scores
+),
+fused AS (
+  SELECT query_id, doc_id, r_bm25, r_tfidf,
+         (1000000000 // ({_Q127_RRF_C} + r_bm25))
+           + (1000000000 // ({_Q127_RRF_C} + r_tfidf)) AS fused_units
+  FROM ranked
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+       r_bm25, r_tfidf, CAST(fused_units AS BIGINT) AS fused_units
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY fused_units DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= {_Q127_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("q127_rrf_fusion", oracle=_Q127_ORACLE)
+def q127_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    tf = _bm25_tf(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfx = tf.groupBy("token").agg(F.count("*").alias("df"))
+    wq = Window.partitionBy("doc_id").orderBy("token")
+    qterms = (
+        tf.filter(F.col("doc_id") % _Q125_STRIDE == 0)
+        .withColumn("tn", F.row_number().over(wq))
+        .filter(F.col("tn") <= _Q125_QTERMS)
+        .select(F.col("doc_id").alias("query_id"), "token")
+    )
+    qinfo = qterms.join(dfx, "token")
+    cand = tf.join(F.broadcast(qinfo), "token").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tff = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    tfidf = F.col("tf").cast("double") * F.log(
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("df").cast("double") + F.lit(1.0))
+    )
+    scores = (
+        cand.select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tff, 6).cast("decimal(18,6)").alias("c_bm25"),
+            F.round(tfidf, 6).cast("decimal(18,6)").alias("c_tfidf"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_bm25").alias("sc_bm25"), F.sum("c_tfidf").alias("sc_tfidf"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("sc_bm25"), F.asc("doc_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sc_tfidf"), F.asc("doc_id"))
+    ranked = scores.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(w1).cast("long").alias("r_bm25"),
+        F.row_number().over(w2).cast("long").alias("r_tfidf"),
+    )
+    fused = ranked.withColumn(
+        "fused_units",
+        F.expr(
+            f"(1000000000 div ({_Q127_RRF_C} + r_bm25))"
+            f" + (1000000000 div ({_Q127_RRF_C} + r_tfidf))"
+        ).cast("long"),
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("fused_units"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w3).cast("long"))
+        .filter(F.col("rnk") <= _Q127_K)
+        .select("query_id", "rnk", "doc_id", "r_bm25", "r_tfidf", "fused_units")
+        .orderBy("query_id", "rnk")
     )

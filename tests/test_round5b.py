@@ -206,3 +206,25 @@ def test_q126_pca_power_step_numpy(spark):
     assert abs(lam - float(np.linalg.norm(w_sp))) < 5e-4
     v1 = np.array([r.v1 for r in out])
     assert abs(float(v1 @ v1) - 1.0) < 1e-4
+
+
+def test_q127_rrf_fusion_integer_identity(spark):
+    """Every fused score equals the exact integer identity
+    10^9//(60+r_bm25) + 10^9//(60+r_tfidf); output is sorted by fused
+    desc within query; a doc ranked 1 by BOTH rankers is fused rank 1."""
+    from sparkextract.queries.round5b import q127_rrf_fusion
+
+    rows = q127_rrf_fusion(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.fused_units == 10**9 // (60 + r.r_bm25) + 10**9 // (60 + r.r_tfidf)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rnk)
+        fus = [r.fused_units for r in rs]
+        assert fus == sorted(fus, reverse=True)
+        both_first = [r for r in rs if r.r_bm25 == 1 and r.r_tfidf == 1]
+        if both_first:
+            assert both_first[0].rnk == 1

@@ -307,7 +307,8 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("vec_id", "long"), ("cosine", "double"), ("overlap", "int"),
          ("rerank_score", "double"), ("cum_chars", "long"),
          ("query_id", "long"), ("rnk", "long"), ("doc_id", "long"),
-         ("r_bm25", "long"), ("r_tfidf", "long"), ("fused_units", "long")],
+         ("r_bm25", "long"), ("r_tfidf", "long"), ("fused_units", "long"),
+         ("step", "long"), ("rel_u", "long"), ("score_u", "long")],
         [
             ("rerank_topk", "q55_rerank_topk",
              {"vec_id": "vec_id", "cosine": "cosine",
@@ -319,6 +320,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"query_id": "query_id", "rnk": "rnk", "doc_id": "doc_id",
               "r_bm25": "r_bm25", "r_tfidf": "r_tfidf",
               "fused_units": "fused_units"}),
+            ("mmr_rerank", "q128_mmr_rerank",
+             {"query_id": "query_id", "step": "step", "vec_id": "vec_id",
+              "rel_u": "rel_u", "score_u": "score_u"}),
         ],
     ),
     # event windows + temporal joins: rank-top-k per user; running
@@ -584,7 +588,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("kept_frac", "double"), ("kept_text_md5", "string"),
          ("n_emails", "int"), ("n_phones", "int"), ("has_pii", "boolean"),
          ("redacted_md5", "string"), ("n_windows", "long"), ("n_dup", "long"),
-         ("dup_frac", "double"), ("flagged", "boolean")],
+         ("dup_frac", "double"), ("flagged", "boolean"),
+         ("lang", "string"), ("source", "string"), ("len_bucket", "long"),
+         ("g0", "long"), ("g1", "long"), ("anon_level", "int"),
+         ("released", "boolean")],
         [
             ("pipeline", "q94_corpus_clean_pipeline",
              {"doc_id": "doc_id", "n_tokens": "n_tokens",
@@ -599,6 +606,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("exact_substring", "q99_exact_substring_dedup",
              {"doc_id": "doc_id", "n_windows": "n_windows", "n_dup": "n_dup",
               "dup_frac": "dup_frac", "flagged": "flagged"}),
+            ("k_anonymity", "q129_k_anonymity",
+             {"doc_id": "doc_id", "lang": "lang", "source": "source",
+              "len_bucket": "len_bucket", "g0": "g0", "g1": "g1",
+              "anon_level": "anon_level", "released": "released"}),
         ],
     ),
     # corpus-layout family: sequence packing, leakage-safe split,

@@ -1,0 +1,349 @@
+"""Round-5 continuation wave: diversified re-ranking (q128) and the
+metadata-privacy release gate (q129).
+
+q128 — MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein, SIGIR 1998):
+the standard diversity-aware second-stage reranker. Given a query and a
+first-stage top-N candidate list, greedily pick K results, each step
+taking the candidate maximizing
+
+    MMR = lambda * rel(q, d)  -  (1 - lambda) * max_{s in S} sim(d, s)
+
+over the not-yet-selected candidates (S = already selected). This is
+the de-dup-at-serving-time counterpart of the corpus dedup family
+(q110 SemDeDup removes near-dups from the corpus; MMR removes them
+from a result page) and completes the retrieval panel next to plain
+rerank (q55) and rank fusion (q127).
+
+Reference intent: RAG retrieval re-ranking surface,
+/root/reference/src/rag/vector_database.py:156-189 (similarity search)
+combined with the near-dup suppression the reference applies at
+chunk-store time (/root/reference/src/rag/text_processor.py:534).
+
+Numeric discipline (q111/q119/q127 lessons, see round5.py / round5b.py):
+every cosine is snapped to BIGINT micro-units — CAST(ROUND(cos * 1e6)
+AS BIGINT) — the moment it is computed, and lambda = 0.7 is carried as
+the exact integer split score_u = 7*rel_u - 3*maxsim_u (the MMR score
+scaled by 10). After the initial snap there is no float anywhere in
+the greedy recursion, so the K-step argmax chain is bit-identical
+across engines; ties break on vec_id ASC at every step.
+
+Scale shape: the ONLY corpus-sized work is first-stage retrieval,
+which at real scale is the ANN index (q46 IVF / q111 PQ), not the
+brute-force pass used here to keep the oracle exact. Everything after
+is bounded by queries x N_CAND: the candidate table is Q x 30 rows,
+the pairwise-similarity table Q x 30 x 29 rows, and each greedy step
+is a query_id-keyed join + map-side-combinable MAX + a 30-row-
+partition window. Candidates and pair sims are materialized once per
+(session, input) via checkpoint_memo, so the K plan-building steps
+never recompute the cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkextract.queries.base import checkpoint_memo, load, register
+from sparkextract.queries.vector import _DIM, _dot, _norm
+
+_Q128_STRIDE = 50  # query set: vec_id % 50 == 0 (10 queries at sf0.01)
+_Q128_NCAND = 30  # first-stage top-N handed to the reranker
+_Q128_K = 5  # results per query
+# lambda = 0.7, carried exactly as (7, 3) / 10
+
+
+def _cos_u(a, b):
+    """Cosine similarity snapped to exact BIGINT micro-units."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)) * F.lit(1000000.0)).cast(
+        "long"
+    )
+
+
+def _cos_u_sql(a: str, b: str) -> str:
+    rng = f"range(1, {_DIM + 1})"
+    return (
+        f"CAST(ROUND("
+        f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+        f" / ( sqrt(list_sum(list_transform({rng}, i -> {a}[i] * {a}[i])))"
+        f"   * sqrt(list_sum(list_transform({rng}, i -> {b}[i] * {b}[i]))) )"
+        f" * 1000000) AS BIGINT)"
+    )
+
+
+def _q128_oracle() -> str:
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM e
+          WHERE vec_id % {_Q128_STRIDE} = 0),
+    rel AS (
+      SELECT q.query_id, d.vec_id, d.e,
+             {_cos_u_sql('d.e', 'q.qe')} AS rel_u
+      FROM q JOIN e d ON d.vec_id != q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, e, rel_u FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel_u DESC, vec_id ASC) AS rn
+        FROM rel) WHERE rn <= {_Q128_NCAND}
+    ),
+    pair AS (
+      SELECT a.query_id, a.vec_id, b.vec_id AS bv,
+             {_cos_u_sql('a.e', 'b.e')} AS sim_u
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, CAST(1 AS BIGINT) AS step, vec_id, rel_u,
+             CAST(7 * rel_u AS BIGINT) AS score_u
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel_u DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    sel1 AS (SELECT * FROM s1)"""
+    steps = [head]
+    for t in range(2, _Q128_K + 1):
+        prev = f"sel{t - 1}"
+        steps.append(f""",
+    s{t} AS (
+      SELECT query_id, CAST({t} AS BIGINT) AS step, vec_id, rel_u, score_u
+      FROM (
+        SELECT c.query_id, c.vec_id, c.rel_u,
+               CAST(7 * c.rel_u - 3 * COALESCE(m.ms, 0) AS BIGINT) AS score_u,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY 7 * c.rel_u - 3 * COALESCE(m.ms, 0) DESC,
+                          c.vec_id ASC) AS rn
+        FROM cand c
+        LEFT JOIN (
+          SELECT p.query_id, p.vec_id, MAX(p.sim_u) AS ms
+          FROM pair p
+          JOIN {prev} s ON s.query_id = p.query_id AND s.vec_id = p.bv
+          GROUP BY p.query_id, p.vec_id) m
+          ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)
+      ) WHERE rn = 1
+    ),
+    sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{t})""")
+    steps.append(f"""
+    SELECT query_id, step, vec_id, rel_u, score_u
+    FROM sel{_Q128_K}
+    ORDER BY query_id, step""")
+    return "".join(steps)
+
+
+def _q128_cand(spark, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") % _Q128_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # broadcast the query vectors (Q rows) onto the embedding scan: the
+    # corpus is scored map-side, then top-N per query via a
+    # query_id-partitioned window (each partition is corpus-bounded only
+    # at this toy scale — at real scale this stage IS the ANN index)
+    rel = (
+        emb.join(F.broadcast(q), emb.vec_id != q.query_id)
+        .select(
+            "query_id",
+            "vec_id",
+            "e",
+            _cos_u(F.col("e"), F.col("qe")).alias("rel_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_u"), F.asc("vec_id")
+    )
+    return (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _Q128_NCAND)
+        .drop("rn")
+    )
+
+
+def _q128_pair(cand):
+    # the a-side id is named `av`, NOT `vec_id`: the cogroup below holds
+    # this frame on one side and a cand projection (with `vec_id`) on
+    # the other, and since both descend from the same memoized cand
+    # their same-named attributes share expression IDs — Spark's
+    # FlatMapCoGroupsInPandas then dedups the duplicate attribute and
+    # one side's column silently VANISHES from the Arrow batch
+    # (observed: the pair frame arrived in the UDF with 3 of 4 columns
+    # under a plain driver-contract session). Collision-free names make
+    # the dedup a no-op in every session config.
+    a = cand.select("query_id", "vec_id", "e")
+    b = cand.select(
+        F.col("query_id").alias("query_id_b"),
+        F.col("vec_id").alias("bv"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("query_id_b"))
+            & (F.col("vec_id") != F.col("bv")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("av"),
+            "bv",
+            _cos_u(F.col("e"), F.col("eb")).alias("sim_u"),
+        )
+    )
+
+
+def _mmr_greedy(cdf, pdf):
+    """Greedy MMR over ONE query's candidates — pure int64 arithmetic on
+    the JVM-snapped micro-unit inputs, so the result is bit-identical to
+    the unrolled SQL recursion (ties: vec_id ASC at every step)."""
+    import pandas as pd
+
+    rel = {int(v): int(r) for v, r in zip(cdf["vec_id"], cdf["rel_u"])}
+    sim = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(pdf["av"], pdf["bv"], pdf["sim_u"])
+    }
+    selected: list[int] = []
+    out = []
+    qid = int(cdf["query_id"].iloc[0])
+    for step in range(1, _Q128_K + 1):
+        best = None
+        for v, r in rel.items():
+            if v in selected:
+                continue
+            ms = max((sim[(v, s)] for s in selected), default=0)
+            score = 7 * r - 3 * ms
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        if best is None:
+            break
+        _, v, score = best
+        selected.append(v)
+        out.append((qid, step, v, rel[v], score))
+    return pd.DataFrame(
+        out, columns=["query_id", "step", "vec_id", "rel_u", "score_u"]
+    )
+
+
+@register("q128_mmr_rerank", oracle=_q128_oracle())
+def q128_mmr_rerank(spark, sf_dir):
+    # The greedy K-step recursion is inherently sequential PER QUERY but
+    # embarrassingly parallel ACROSS queries, and each query's state is
+    # a bounded 30-candidate set — exactly the applyInPandas case (an
+    # unrolled DataFrame-join loop was measured 10x slower here: ~8 tiny
+    # shuffle jobs per step of pure scheduling overhead). One cogroup
+    # shuffle on query_id; every cosine is snapped to integer micro-
+    # units JVM-side BEFORE the UDF, which does only int64 arithmetic.
+    from sparkextract.spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)  # UDF unpickles sparkextract worker-side
+    cand = checkpoint_memo(
+        spark, sf_dir, "q128_cand", lambda: _q128_cand(spark, sf_dir)
+    )
+    # the pair memo ALSO breaks the cand lineage the cogroup's two sides
+    # would otherwise share (Spark's ambiguous-self-join check rejects a
+    # cogroup whose sides resolve to the same source attributes)
+    pair = checkpoint_memo(
+        spark, sf_dir, "q128_pair", lambda: _q128_pair(cand)
+    )
+    cslim = cand.select("query_id", "vec_id", "rel_u")
+    out = (
+        cslim.groupby("query_id")
+        .cogroup(pair.groupby("query_id"))
+        .applyInPandas(
+            lambda c, p: _mmr_greedy(c, p),
+            schema=(
+                "query_id long, step long, vec_id long, "
+                "rel_u long, score_u long"
+            ),
+        )
+    )
+    return out.orderBy("query_id", "step")
+
+
+# --------------------------------------------------------------------------
+# q129: K-ANONYMITY RELEASE GATE (Sweeney 2002) — the privacy screen a
+# corpus release runs AFTER content-level PII redaction (q97): a
+# document is re-identifiable not just by what its text says but by its
+# metadata footprint, so the release checks the quasi-identifier tuple
+# (lang, source, length-bucket) against a minimum group size K. A doc is
+# released at level 0 if >= K docs share its full QI tuple; otherwise
+# the standard generalization-ladder step drops the most identifying
+# attribute (source) and re-tests (lang, length-bucket) — level 1; docs
+# still in a group < K are SUPPRESSED (level 2). Reference intent: the
+# reference's metadata/summary surfaces expose (source, size) per
+# document (/root/reference/src/pdf_extraction/pdf_table_extractor.py
+# summary tables); this is the release-side control over exactly those
+# attributes.
+#
+# Numeric discipline: pure integer arithmetic end to end (counts and an
+# exact integer division length bucket) — nothing to round.
+# Scale shape: two map-side-combinable groupBy counts whose results are
+# DIMENSION-TABLE sized (|lang| x |source| x |bucket|), broadcast back
+# onto the doc scan — zero corpus-sized shuffles; never a window over
+# the QI key (the q96/q99 de-skew rule: a hot QI group lands on one
+# task under a window, but a broadcast-join count is skew-immune).
+_Q129_K = 5
+
+_Q129_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket
+  FROM documents
+),
+g0 AS (SELECT lang, source, len_bucket, COUNT(*) AS g0
+       FROM d GROUP BY lang, source, len_bucket),
+g1 AS (SELECT lang, len_bucket, COUNT(*) AS g1
+       FROM d GROUP BY lang, len_bucket)
+SELECT d.doc_id, d.lang, d.source, d.len_bucket,
+       CAST(g0.g0 AS BIGINT) AS g0, CAST(g1.g1 AS BIGINT) AS g1,
+       CAST(CASE WHEN g0.g0 >= {_Q129_K} THEN 0
+                 WHEN g1.g1 >= {_Q129_K} THEN 1
+                 ELSE 2 END AS INTEGER) AS anon_level,
+       (g0.g0 >= {_Q129_K} OR g1.g1 >= {_Q129_K}) AS released
+FROM d
+JOIN g0 USING (lang, source, len_bucket)
+JOIN g1 USING (lang, len_bucket)
+"""
+
+
+@register("q129_k_anonymity", oracle=_Q129_ORACLE)
+def q129_k_anonymity(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("CAST(n_chars div 200 AS BIGINT)").alias("len_bucket"),
+    )
+    g0 = d.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").alias("g0")
+    )
+    g1 = d.groupBy("lang", "len_bucket").agg(F.count("*").alias("g1"))
+    anon = (
+        F.when(F.col("g0") >= _Q129_K, 0)
+        .when(F.col("g1") >= _Q129_K, 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    return (
+        d.join(F.broadcast(g0), ["lang", "source", "len_bucket"])
+        .join(F.broadcast(g1), ["lang", "len_bucket"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "len_bucket",
+            "g0",
+            "g1",
+            anon.alias("anon_level"),
+            (
+                (F.col("g0") >= _Q129_K) | (F.col("g1") >= _Q129_K)
+            ).alias("released"),
+        )
+    )

@@ -169,13 +169,18 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # from iteration 2).
     "panel_kmeans": (
         [("cell", "long"), ("n_assigned", "long"),
-         ("centroid_l2", "double"), ("centroid_shift", "double")],
+         ("centroid_l2", "double"), ("centroid_shift", "double"),
+         ("vec_id", "long"), ("a_u", "long"), ("b_u", "long"),
+         ("sil_u", "long")],
         [
             ("iter1", "q52_kmeans_step",
              {"cell": "cell", "n_assigned": "n_assigned", "centroid_l2": "centroid_l2"}),
             ("iter2", "q57_kmeans_step2",
              {"cell": "cell", "n_assigned": "n_assigned",
               "centroid_l2": "centroid_l2", "centroid_shift": "centroid_shift"}),
+            ("silhouette", "q131_simplified_silhouette",
+             {"vec_id": "vec_id", "cell": "cell", "a_u": "a_u",
+              "b_u": "b_u", "sil_u": "sil_u"}),
         ],
     ),
     # per-language token/fingerprint stats (all lang-grain aggregates).

@@ -347,3 +347,103 @@ def q129_k_anonymity(spark, sf_dir):
             ).alias("released"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q131: SIMPLIFIED SILHOUETTE (centroid-based; Rousseeuw 1987 silhouette
+# with the O(N*k) centroid approximation that actual large-scale
+# clustering evals use — true silhouette is O(N^2) pairwise and cannot
+# run at corpus scale). Completes the cluster-diagnostics family: q52/
+# q57 produce the Lloyd's iterations, q120 measures assignment DRIFT
+# between snapshots, this measures assignment QUALITY within one
+# snapshot: per point, a = Euclidean distance to its own (nearest)
+# centroid, b = distance to the best OTHER centroid, s = (b-a)/max(a,b)
+# in [0,1] here (a <= b by construction of nearest-centroid assignment).
+# Same seed-centroid scheme as q52 (quantized vectors of vec_id 1..8,
+# assignment ordering on the raw double squared-L2 with cent_id
+# tie-break — the proven cross-engine recipe), then every distance is
+# snapped to BIGINT micro-units and s is computed by pure integer
+# division, so the score surface is bit-identical across engines.
+# Reference intent: embedding-space quality checks over the pgvector
+# store, /root/reference/src/rag/vector_database.py:156-189.
+#
+# Scale shape: the centroid table is k broadcast rows; distances are
+# computed map-side on the embedding scan; the per-point (a, b, cell)
+# reduction is ONE vec_id-keyed conditional aggregation (no self-join,
+# no second scan); per-cluster rollup is a k-group mergeable agg.
+_Q131_K = 8
+
+
+def _q131_oracle() -> str:
+    return f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 3)) AS e
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, e AS c FROM eq
+              WHERE vec_id BETWEEN 1 AND {_Q131_K}),
+    dists AS (
+      SELECT d.vec_id, c.cent_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (d.e[i] - c.c[i]) * (d.e[i] - c.c[i]))) AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.vec_id ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> (d.e[i] - c.c[i]) * (d.e[i] - c.c[i]))) ASC,
+               c.cent_id ASC) AS rn
+      FROM eq d, cents c
+      WHERE d.vec_id > {_Q131_K}
+    ),
+    ab AS (
+      SELECT vec_id,
+             CAST(MAX(CASE WHEN rn = 1 THEN cent_id END) AS BIGINT) AS cell,
+             CAST(ROUND(SQRT(MAX(CASE WHEN rn = 1 THEN d2 END)) * 1000000)
+                  AS BIGINT) AS a_u,
+             CAST(ROUND(SQRT(MAX(CASE WHEN rn = 2 THEN d2 END)) * 1000000)
+                  AS BIGINT) AS b_u
+      FROM dists WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT vec_id, cell, a_u, b_u,
+           CAST(CASE WHEN GREATEST(a_u, b_u) = 0 THEN 0
+                ELSE (b_u - a_u) * 1000000 // GREATEST(a_u, b_u)
+                END AS BIGINT) AS sil_u
+    FROM ab
+    """
+
+
+@register("q131_simplified_silhouette", oracle=_q131_oracle())
+def q131_simplified_silhouette(spark, sf_dir):
+    from sparkextract.queries.wave4 import _km_quantized
+
+    eq = _km_quantized(spark, sf_dir)
+    cents = eq.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= _Q131_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("e").alias("c"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    dists = (
+        eq.filter(F.col("vec_id") > _Q131_K)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    snap = lambda col: F.round(F.sqrt(col) * F.lit(1000000.0)).cast("long")
+    ab = dists.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cent_id")))
+        .cast("long")
+        .alias("cell"),
+        snap(F.max(F.when(F.col("rn") == 1, F.col("d2")))).alias("a_u"),
+        snap(F.max(F.when(F.col("rn") == 2, F.col("d2")))).alias("b_u"),
+    )
+    sil = F.when(F.greatest("a_u", "b_u") == 0, F.lit(0)).otherwise(
+        F.expr("(b_u - a_u) * 1000000 div greatest(a_u, b_u)")
+    )
+    return ab.select(
+        "vec_id", "cell", "a_u", "b_u", sil.cast("long").alias("sil_u")
+    )

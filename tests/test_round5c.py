@@ -120,3 +120,43 @@ def test_q129_k_anonymity_recount(spark):
         exp_level = 0 if exp_g0 >= _Q129_K else (1 if exp_g1 >= _Q129_K else 2)
         assert r["anon_level"] == exp_level
         assert r["released"] == (exp_level < 2)
+
+
+def test_q131_matches_numpy_reference(spark):
+    """Independent numpy silhouette over the same quantized inputs."""
+    import pyarrow.parquet as pq
+
+    from sparkextract.queries.round5c import (
+        _Q131_K,
+        q131_simplified_silhouette,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    embs = {
+        int(v): np.round(np.asarray(e, dtype=np.float64), 3)
+        for v, e in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    }
+    cents = {c: embs[c] for c in range(1, _Q131_K + 1)}
+    expected = {}
+    for v, e in embs.items():
+        if v <= _Q131_K:
+            continue
+        d2 = sorted(
+            (float(np.sum((e - c) ** 2)), cid) for cid, c in cents.items()
+        )
+        (a2, cell), (b2, _) = d2[0], d2[1]
+        a_u = int(np.round(np.sqrt(a2) * 1_000_000))
+        b_u = int(np.round(np.sqrt(b2) * 1_000_000))
+        sil = 0 if max(a_u, b_u) == 0 else (b_u - a_u) * 1_000_000 // max(a_u, b_u)
+        expected[v] = (cell, a_u, b_u, sil)
+
+    rows = q131_simplified_silhouette(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (
+            r["cell"], r["a_u"], r["b_u"], r["sil_u"]
+        ) == expected[r["vec_id"]]
+        assert r["a_u"] <= r["b_u"]  # nearest-centroid assignment
+        assert 0 <= r["sil_u"] <= 1_000_000

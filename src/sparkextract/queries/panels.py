@@ -107,7 +107,7 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_suppressed", "long"), ("min_keeper", "long"),
          ("n_bigrams", "long"), ("n_distinct_bigrams", "long"),
          ("dup_frac", "double"), ("top_word_frac", "double"),
-         ("avg_logp", "double")],
+         ("avg_logp", "double"), ("entropy", "double")],
         [
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
@@ -125,6 +125,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("lm_score", "q87_lm_quality_score",
              {"doc_id": "doc_id", "n_bigrams": "n_bigrams",
               "avg_logp": "avg_logp", "keep": "keep"}),
+            ("token_entropy", "q130_token_entropy",
+             {"doc_id": "doc_id", "n_words": "n_tokens",
+              "n_distinct": "n_types", "entropy": "entropy",
+              "keep": "keep"}),
             ("clean_pipeline", "q76_clean_pipeline",
              {"lang": "lang", "source": "source", "n_docs": "n_docs",
               "total_words": "total_words", "n_suppressed": "n_suppressed",

@@ -350,6 +350,86 @@ def q129_k_anonymity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# q130: UNIGRAM SHANNON ENTROPY quality gate — the information-density
+# signal the Gopher/C4-style rule cascades (q75 length/diversity, q84
+# repetition, q87 LM logprob) are missing: a document whose token
+# distribution has low entropy is keyword-stuffed or template spam even
+# when its distinct-token RATIO looks fine (1000 tokens drawn 50/50
+# from two types has diversity 0.002 but the q84 top_word_frac gate at
+# 0.2 ignores the second type; entropy ln(2)=0.69 catches it directly).
+# Reference intent: the reference keeps only "meaningful" extracted
+# text via flat heuristics (/root/reference/src/pdf_extraction/
+# text_processor.py meaningful-text predicate); this is that gate's
+# information-theoretic form at corpus scale.
+#
+# Implementation identity: H = -sum_t (c_t/n) ln(c_t/n) needs n before
+# the per-type terms, which naively costs a doc-keyed join or window
+# over the token-count table. Rewriting H = ln(n) - (sum_t c_t ln c_t)/n
+# makes every per-type term independent of n, so the WHOLE metric is
+# two stacked mergeable aggregations: groupBy(doc_id, t) count, then
+# groupBy(doc_id) {n=sum c, types=count, S=sum c*ln(c)} — no join, no
+# window, no second scan, nothing keyed on a skewable value.
+#
+# Numeric discipline (the q114 pattern): each c*ln(c) term is
+# ROUND(...,9)-frozen as DECIMAL(18,9) so S is an EXACT decimal sum
+# (partition-order-independent); n and ln(n) are exact-integer doubles;
+# the final H = ln(n) - S/n is one ln, one division, one subtraction of
+# identical doubles, ROUND(...,6)-frozen before the keep compare.
+_Q130_LOW_ENTROPY = 3.0
+
+_Q130_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY doc_id, t
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))) AS s
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(ln(CAST(n_tokens AS DOUBLE))
+             - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+       (ROUND(ln(CAST(n_tokens AS DOUBLE))
+              - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        >= {_Q130_LOW_ENTROPY}) AS keep
+FROM agg
+"""
+
+
+@register("q130_token_entropy", oracle=_Q130_ORACLE)
+def q130_token_entropy(spark, sf_dir):
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    c = F.col("c").cast("double")
+    wc = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.round(c * F.log(c), 9).cast("decimal(18,9)")).alias("s"),
+    )
+    n = F.col("n_tokens").cast("double")
+    entropy = F.round(F.log(n) - F.col("s").cast("double") / n, 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        entropy.alias("entropy"),
+        (entropy >= _Q130_LOW_ENTROPY).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q131: SIMPLIFIED SILHOUETTE (centroid-based; Rousseeuw 1987 silhouette
 # with the O(N*k) centroid approximation that actual large-scale
 # clustering evals use — true silhouette is O(N^2) pairwise and cannot

@@ -160,3 +160,42 @@ def test_q131_matches_numpy_reference(spark):
         ) == expected[r["vec_id"]]
         assert r["a_u"] <= r["b_u"]  # nearest-centroid assignment
         assert 0 <= r["sil_u"] <= 1_000_000
+
+
+def test_q130_entropy_matches_python(spark):
+    """Independent per-doc Shannon entropy (direct -sum p ln p form,
+    NOT the ln(n) - S/n identity the query uses) over the raw parquet."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sparkextract.queries.round5c import (
+        _Q130_LOW_ENTROPY,
+        q130_token_entropy,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    expected = {}
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = [w for w in text.split(" ") if w != ""]
+        if not toks:
+            continue
+        counts = Counter(toks)
+        n = len(toks)
+        h = -sum((c / n) * math.log(c / n) for c in counts.values())
+        expected[doc_id] = (n, len(counts), h)
+
+    rows = q130_token_entropy(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        n, types, h = expected[r["doc_id"]]
+        assert r["n_tokens"] == n and r["n_types"] == types
+        # query freezes per-term decimals at 1e-9 and the result at 1e-6;
+        # the direct-form float sum differs by at most the frozen grain
+        assert abs(r["entropy"] - h) < 1e-5
+        assert r["keep"] == (r["entropy"] >= _Q130_LOW_ENTROPY)
+        # entropy is bounded by ln(n_types) (uniform) and >= 0
+        assert -1e-9 <= r["entropy"] <= math.log(max(types, 2)) + 1e-6

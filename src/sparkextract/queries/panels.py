@@ -600,7 +600,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("dup_frac", "double"), ("flagged", "boolean"),
          ("lang", "string"), ("source", "string"), ("len_bucket", "long"),
          ("g0", "long"), ("g1", "long"), ("anon_level", "int"),
-         ("released", "boolean")],
+         ("released", "boolean"), ("was_mojibake", "boolean"),
+         ("n_bad_seqs", "long"), ("repaired_md5", "string"),
+         ("roundtrip_ok", "boolean")],
         [
             ("pipeline", "q94_corpus_clean_pipeline",
              {"doc_id": "doc_id", "n_tokens": "n_tokens",
@@ -619,6 +621,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"doc_id": "doc_id", "lang": "lang", "source": "source",
               "len_bucket": "len_bucket", "g0": "g0", "g1": "g1",
               "anon_level": "anon_level", "released": "released"}),
+            ("encoding_repair", "q132_encoding_repair",
+             {"doc_id": "doc_id", "was_mojibake": "was_mojibake",
+              "n_bad_seqs": "n_bad_seqs", "repaired_md5": "repaired_md5",
+              "roundtrip_ok": "roundtrip_ok"}),
         ],
     ),
     # corpus-layout family: sequence packing, leakage-safe split,

@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkextract.queries.base import checkpoint_memo, load, register
+from sparkextract.queries.base import (
+    checkpoint_memo,
+    load,
+    md5_bucket_sql,
+    register,
+)
 from sparkextract.queries.vector import _DIM, _dot, _norm
 
 _Q128_STRIDE = 50  # query set: vec_id % 50 == 0 (10 queries at sf0.01)
@@ -526,4 +531,115 @@ def q131_simplified_silhouette(spark, sf_dir):
     )
     return ab.select(
         "vec_id", "cell", "a_u", "b_u", sil.cast("long").alias("sil_u")
+    )
+
+
+# --------------------------------------------------------------------------
+# q132: ENCODING REPAIR (fix-unicode / ftfy pass) — the first text-fix
+# step of every published pretraining pipeline (C4, Gopher, RefinedWeb
+# all "fix unicode" before any quality rule runs): a crawl shard that
+# was UTF-8 but got re-decoded as latin-1 carries mojibake ('á' U+00E1
+# -> bytes C3 A1 -> 'Ã¡'), and every downstream token/dedup/quality
+# metric silently degrades on it. The corpus here is clean ASCII, so —
+# exactly like q103 synthesizes its stale-snapshot docs — the query
+# deterministically simulates the damage on one md5 bucket of docs
+# (intended accented text double-encoded into mojibake), then runs the
+# real repair rule (detect the 'Ã' signature, reverse the latin-1
+# mis-decode) and PROVES per doc that repair restores the intended
+# text (roundtrip_ok). The pytest grounds the simulated byte mapping
+# in the actual encode/decode round trip.
+# Reference intent: the reference's OCR/text clean chain normalizes
+# extractor artifacts before storage (/root/reference/src/pdf_extraction/
+# text_processor.py clean chain); this is the encoding-level member of
+# that family at corpus scale.
+#
+# Numeric discipline: string equality and integer counts only.
+# Scale shape: pure map-side string work on ONE narrow scan — zero
+# shuffles, zero Python, whole-stage codegen end to end (PLANS.md).
+_Q132_BUCKETS = 10
+_Q132_BAD_BUCKET = 7
+# the latin-1 mis-decode of each intended accented char (pytest asserts
+# these equal the real .encode('utf-8').decode('latin-1') round trip)
+_Q132_MAP = [("a", "á", "Ã¡"), ("e", "é", "Ã©")]
+
+_Q132_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         {md5_bucket_sql("doc_id", _Q132_BUCKETS)} = {_Q132_BAD_BUCKET} AS bad
+  FROM documents
+),
+sim AS (
+  SELECT doc_id, bad,
+    CASE WHEN bad THEN REPLACE(REPLACE(text, 'a', '{_Q132_MAP[0][1]}'),
+                               'e', '{_Q132_MAP[1][1]}')
+         ELSE text END AS intended,
+    CASE WHEN bad THEN REPLACE(REPLACE(text, 'a', '{_Q132_MAP[0][2]}'),
+                               'e', '{_Q132_MAP[1][2]}')
+         ELSE text END AS stored
+  FROM d
+),
+rep AS (
+  SELECT doc_id, intended, stored,
+    CONTAINS(stored, 'Ã') AS was_mojibake,
+    CAST(LENGTH(stored) - LENGTH(REPLACE(stored, 'Ã', '')) AS BIGINT)
+      AS n_bad_seqs,
+    REPLACE(REPLACE(stored, '{_Q132_MAP[0][2]}', '{_Q132_MAP[0][1]}'),
+            '{_Q132_MAP[1][2]}', '{_Q132_MAP[1][1]}') AS repaired
+  FROM sim
+)
+SELECT doc_id, was_mojibake, n_bad_seqs,
+       md5(repaired) AS repaired_md5,
+       repaired = intended AS roundtrip_ok
+FROM rep
+"""
+
+
+@register("q132_encoding_repair", oracle=_Q132_ORACLE)
+def q132_encoding_repair(spark, sf_dir):
+    from sparkextract.queries.base import md5_bucket
+
+    (pa, ia, ma), (pe, ie, me) = _Q132_MAP
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (md5_bucket(F.col("doc_id"), _Q132_BUCKETS) == _Q132_BAD_BUCKET).alias(
+            "bad"
+        ),
+    )
+    sim = d.select(
+        "doc_id",
+        F.when(
+            F.col("bad"),
+            F.replace(F.replace("text", F.lit(pa), F.lit(ia)), F.lit(pe), F.lit(ie)),
+        )
+        .otherwise(F.col("text"))
+        .alias("intended"),
+        F.when(
+            F.col("bad"),
+            F.replace(F.replace("text", F.lit(pa), F.lit(ma)), F.lit(pe), F.lit(me)),
+        )
+        .otherwise(F.col("text"))
+        .alias("stored"),
+    )
+    repaired = F.replace(
+        F.replace("stored", F.lit(ma), F.lit(ia)), F.lit(me), F.lit(ie)
+    )
+    rep = sim.select(
+        "doc_id",
+        "intended",
+        F.col("stored").contains("Ã").alias("was_mojibake"),
+        (
+            F.length("stored")
+            - F.length(F.replace("stored", F.lit("Ã"), F.lit("")))
+        )
+        .cast("long")
+        .alias("n_bad_seqs"),
+        repaired.alias("repaired"),
+    )
+    return rep.select(
+        "doc_id",
+        "was_mojibake",
+        "n_bad_seqs",
+        F.md5(F.col("repaired").cast("binary")).alias("repaired_md5"),
+        (F.col("repaired") == F.col("intended")).alias("roundtrip_ok"),
     )

@@ -199,3 +199,55 @@ def test_q130_entropy_matches_python(spark):
         assert r["keep"] == (r["entropy"] >= _Q130_LOW_ENTROPY)
         # entropy is bounded by ln(n_types) (uniform) and >= 0
         assert -1e-9 <= r["entropy"] <= math.log(max(types, 2)) + 1e-6
+
+
+def test_q132_mapping_is_real_mojibake():
+    """The simulated byte mapping IS the actual utf-8-read-as-latin-1
+    round trip, and the repair rule is its exact inverse."""
+    from sparkextract.queries.round5c import _Q132_MAP
+
+    for plain, intended, mojibake in _Q132_MAP:
+        assert intended.encode("utf-8").decode("latin-1") == mojibake
+        assert mojibake.encode("latin-1").decode("utf-8") == intended
+        assert plain not in mojibake
+
+
+def test_q132_repair_roundtrip(spark):
+    """Every doc round-trips; exactly the md5-bucket docs are flagged,
+    with n_bad_seqs equal to their (a+e) occurrence count."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from sparkextract.queries.round5c import (
+        _Q132_BAD_BUCKET,
+        _Q132_BUCKETS,
+        q132_encoding_repair,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    docs = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    rows = q132_encoding_repair(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    flagged = 0
+    for r in rows:
+        text = docs[r["doc_id"]]
+        bucket = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            % _Q132_BUCKETS
+        )
+        is_bad = bucket == _Q132_BAD_BUCKET
+        assert r["roundtrip_ok"] is True
+        assert r["was_mojibake"] == is_bad
+        exp_bad = (text.count("a") + text.count("e")) if is_bad else 0
+        assert r["n_bad_seqs"] == exp_bad
+        if is_bad:
+            flagged += 1
+            intended = text.replace("a", "á").replace("e", "é")
+            assert (
+                r["repaired_md5"]
+                == hashlib.md5(intended.encode("utf-8")).hexdigest()
+            )
+    assert flagged > 0

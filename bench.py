@@ -88,6 +88,8 @@ HEADLINE = [
     "q122_bpe_merge",
     "q125_bm25_topk",
     "q126_pca_power_step",
+    "q130_token_entropy",
+    "q132_encoding_repair",
 ]
 
 

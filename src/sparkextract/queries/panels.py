@@ -107,7 +107,8 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_suppressed", "long"), ("min_keeper", "long"),
          ("n_bigrams", "long"), ("n_distinct_bigrams", "long"),
          ("dup_frac", "double"), ("top_word_frac", "double"),
-         ("avg_logp", "double"), ("entropy", "double")],
+         ("avg_logp", "double"), ("entropy", "double"),
+         ("ppl_bucket", "string")],
         [
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
@@ -129,6 +130,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"doc_id": "doc_id", "n_words": "n_tokens",
               "n_distinct": "n_types", "entropy": "entropy",
               "keep": "keep"}),
+            ("ccnet_buckets", "q133_ccnet_buckets",
+             {"doc_id": "doc_id", "lang": "lang",
+              "avg_logp": "avg_logp", "ppl_bucket": "ppl_bucket"}),
             ("clean_pipeline", "q76_clean_pipeline",
              {"lang": "lang", "source": "source", "n_docs": "n_docs",
               "total_words": "total_words", "n_suppressed": "n_suppressed",

@@ -643,3 +643,141 @@ def q132_encoding_repair(spark, sf_dir):
         F.md5(F.col("repaired").cast("binary")).alias("repaired_md5"),
         (F.col("repaired") == F.col("intended")).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# q133: CCNet HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (Wenzek et al. 2020)
+# — the op q87 deliberately does not do: q87 trains its LM on the
+# corpus ITSELF (self-perplexity gate); CCNet's defining move is to
+# train on a trusted REFERENCE slice (Wikipedia) and split every
+# language's crawl into head/middle/tail TERCILES of reference
+# perplexity, so downstream mixing can up/down-weight by distance from
+# the reference distribution. Here the trusted slice is source='src0'
+# (deterministic stand-in for the wiki dump): add-one unigram LM
+# p(t) = (c_ref(t)+1)/(N_ref+V) with V = full-corpus vocabulary (so
+# ref-unseen tokens get smoothed mass), per-doc score = mean ln p, and
+# per-LANGUAGE tercile assignment.
+#
+# Scale shape (the part that must survive 100x): terciles need per-lang
+# rank, and a window over (lang) at DOC grain is exactly the hot-key
+# window the q96/q99 de-skew rule forbids ('en' is half the corpus).
+# Instead ranks are computed on the SCORE-GRAIN table — groupBy(lang,
+# score) counts first (mergeable), then the cumulative window runs over
+# distinct rounded scores per lang, a grain bounded by (score range /
+# 1e-6 quantum) INDEPENDENT of corpus size — and docs get their bucket
+# back via an equi-join on (lang, score). The LM scoring join is
+# token-keyed like q73/q87 (no broadcast assumption: a web-scale
+# unigram table is large); the tokenized corpus is materialized once
+# (checkpoint_memo, the q87 single-scan discipline). Tercile boundaries
+# use first-rank-of-tie-group semantics (cum_excl < ceil(n/3)) so every
+# doc sharing a rounded score lands in the same bucket — deterministic
+# in both engines, no intra-tie ordering dependence.
+#
+# Numeric discipline: ln arg is a single division of exact-integer
+# doubles; per-doc score is ROUND(AVG(ln ...), 6) — the q87-vetted form
+# (sum-order error ~1e-13 against the 5e-7 quantum); the (lang, score)
+# join key is that rounded double, identical in both engines.
+# Reference intent: quality-weighted retrieval/storage decisions over
+# chunk confidence (/root/reference/src/rag/text_processor.py:578-581)
+# lifted to the corpus-mixing decision a pretraining pipeline makes.
+_Q133_REF_SOURCE = "src0"
+
+_Q133_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, unnest(list_filter(string_split(text, ' '),
+         t -> t <> '')) AS t
+  FROM documents
+),
+cref AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE source = '{_Q133_REF_SOURCE}' GROUP BY t
+),
+consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+          WHERE source = '{_Q133_REF_SOURCE}') AS n_ref,
+         (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM toks) AS v
+),
+scored AS (
+  SELECT toks.doc_id, toks.lang,
+         ROUND(AVG(ln(CAST(COALESCE(cref.c, 0) + 1 AS DOUBLE)
+                      / (consts.n_ref + consts.v))), 6) AS avg_logp
+  FROM toks LEFT JOIN cref USING (t) CROSS JOIN consts
+  GROUP BY toks.doc_id, toks.lang
+),
+sg AS (
+  SELECT lang, avg_logp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY lang, avg_logp
+),
+nl AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM sg GROUP BY lang),
+ranked AS (
+  SELECT sg.lang, sg.avg_logp,
+         COALESCE(SUM(sg.cnt) OVER (
+           PARTITION BY sg.lang ORDER BY sg.avg_logp DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+         nl.n AS n
+  FROM sg JOIN nl USING (lang)
+),
+buckets AS (
+  SELECT lang, avg_logp,
+         CASE WHEN cum_excl < (n + 2) // 3 THEN 'head'
+              WHEN cum_excl < (2 * n + 2) // 3 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM ranked
+)
+SELECT s.doc_id, s.lang, s.avg_logp, b.ppl_bucket
+FROM scored s JOIN buckets b ON s.lang = b.lang AND s.avg_logp = b.avg_logp
+"""
+
+
+@register("q133_ccnet_buckets", oracle=_Q133_ORACLE)
+def q133_ccnet_buckets(spark, sf_dir):
+    toks = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q133_toks",
+        lambda: (
+            load(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.explode(F.split("text", " ")).alias("t"),
+            )
+            .filter(F.col("t") != "")
+        ),
+    )
+    ref = toks.filter(F.col("source") == _Q133_REF_SOURCE)
+    cref = ref.groupBy("t").agg(F.count("*").alias("c"))
+    consts = ref.agg(F.count("*").alias("n_ref")).crossJoin(
+        toks.agg(F.countDistinct("t").alias("v"))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("n_ref") + F.col("v")
+    )
+    scored = (
+        toks.join(cref, "t", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(F.log(p)), 6).alias("avg_logp"))
+    )
+    sg = scored.groupBy("lang", "avg_logp").agg(F.count("*").alias("cnt"))
+    nl = sg.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("avg_logp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = sg.join(F.broadcast(nl), "lang").withColumn(
+        "cum_excl", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    )
+    buckets = ranked.select(
+        "lang",
+        "avg_logp",
+        F.when(F.col("cum_excl") < F.expr("(n + 2) div 3"), "head")
+        .when(F.col("cum_excl") < F.expr("(2 * n + 2) div 3"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+    return scored.join(F.broadcast(buckets), ["lang", "avg_logp"]).select(
+        "doc_id", "lang", "avg_logp", "ppl_bucket"
+    )

@@ -251,3 +251,59 @@ def test_q132_repair_roundtrip(spark):
                 == hashlib.md5(intended.encode("utf-8")).hexdigest()
             )
     assert flagged > 0
+
+
+def test_q133_ccnet_buckets_properties(spark):
+    """Independent Python recount: scores from an add-one unigram LM on
+    the src0 slice; tercile sizes and the all-ties-same-bucket rule."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from sparkextract.queries.round5c import (
+        _Q133_REF_SOURCE,
+        q133_ccnet_buckets,
+    )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+    ref_counts: Counter = Counter()
+    vocab = set()
+    for _, r in t.iterrows():
+        toks = [w for w in r["text"].split(" ") if w]
+        vocab.update(toks)
+        if r["source"] == _Q133_REF_SOURCE:
+            ref_counts.update(toks)
+    n_ref, v = sum(ref_counts.values()), len(vocab)
+    assert n_ref > 0, "src0 reference slice must be non-empty"
+
+    exp_score = {}
+    for _, r in t.iterrows():
+        toks = [w for w in r["text"].split(" ") if w]
+        if not toks:
+            continue
+        s = sum(math.log((ref_counts.get(w, 0) + 1) / (n_ref + v)) for w in toks)
+        exp_score[r["doc_id"]] = round(s / len(toks), 6)
+
+    rows = q133_ccnet_buckets(spark, SF_DIR).collect()
+    assert len(rows) == len(exp_score)
+    by_lang = defaultdict(list)
+    bucket_of_score = {}
+    for r in rows:
+        assert abs(r["avg_logp"] - exp_score[r["doc_id"]]) < 2e-6
+        by_lang[r["lang"]].append(r)
+        key = (r["lang"], r["avg_logp"])
+        # ties share one bucket
+        assert bucket_of_score.setdefault(key, r["ppl_bucket"]) == r["ppl_bucket"]
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = Counter(r["ppl_bucket"] for r in rs)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        # without ties straddling a boundary, sizes are exactly k1/k2-k1/rest;
+        # with ties they can only shift whole tie-groups
+        assert counts["head"] >= 1 and counts["tail"] >= 1 or n < 3
+        # head docs all score >= every middle doc, middle >= tail
+        lo = {"head": 2, "middle": 1, "tail": 0}
+        srt = sorted(rs, key=lambda r: (-r["avg_logp"], lo[r["ppl_bucket"]]))
+        ranks = [lo[r["ppl_bucket"]] for r in srt]
+        assert ranks == sorted(ranks, reverse=True), f"{lang}: buckets not monotone in score"

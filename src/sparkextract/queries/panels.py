@@ -640,7 +640,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("vec_id", "long"), ("cluster_id", "long"),
          ("in_cluster", "boolean"), ("split", "string"),
          ("global_pos", "long"), ("domain", "string"), ("n_docs", "long"),
-         ("total_chars", "long"), ("mean_chars", "double")],
+         ("total_chars", "long"), ("mean_chars", "double"),
+         ("mode", "string"), ("len_prefix", "long"), ("len_middle", "long"),
+         ("len_suffix", "long"), ("fim_md5", "string")],
         [
             ("packing", "q100_sequence_packing",
              {"doc_id": "doc_id", "shard": "shard", "n_tokens": "n_tokens",
@@ -655,6 +657,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("domain_rollup", "q98_domain_rollup",
              {"domain": "domain", "n_docs": "n_docs",
               "total_chars": "total_chars", "mean_chars": "mean_chars"}),
+            ("fim_transform", "q134_fim_transform",
+             {"doc_id": "doc_id", "mode": "mode",
+              "len_prefix": "len_prefix", "len_middle": "len_middle",
+              "len_suffix": "len_suffix", "fim_md5": "fim_md5"}),
         ],
     ),
     # CDC / resume family: manifest crash+resume state, snapshot diff,

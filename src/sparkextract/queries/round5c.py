@@ -781,3 +781,146 @@ def q133_ccnet_buckets(spark, sf_dir):
     return scored.join(F.broadcast(buckets), ["lang", "avg_logp"]).select(
         "doc_id", "lang", "avg_logp", "ppl_bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# q134: FIM (FILL-IN-THE-MIDDLE) TRANSFORM (Bavarian et al. 2022,
+# "Efficient Training of Language Models to Fill in the Middle") — the
+# data-prep step that turns a causal-LM corpus into one that also
+# teaches infilling: for a sampled fraction of documents, split the
+# text at two pseudo-random character positions into (prefix, middle,
+# suffix) and re-serialize as PSM '<PRE>p<SUF>s<MID>m' or SPM
+# '<SUF>s<PRE>p<MID>m'; the rest pass through unchanged. This is the
+# training-OBJECTIVE-side member of the corpus-layout family (q100
+# packs, q105 orders, q101 splits — q134 rewrites the example itself).
+# All randomness is the repo's engine-portable md5 discipline: the
+# FIM/plain coin, both cut positions, and the PSM/SPM coin are each
+# salted md5 buckets of doc_id, so the transform is deterministic,
+# resumable, and identically computable in the DuckDB oracle.
+# Reference intent: the reference re-serializes extracted content into
+# model-facing text layouts (table -> CSV / 'col: val' renderings,
+# /root/reference/src/rag/text_processor.py:387-423); this is that
+# re-serialization shape applied to the pretraining objective.
+#
+# Scale shape: pure map-side string arithmetic on ONE narrow scan —
+# zero shuffles, zero Python, whole-stage codegen (like q132).
+# Numeric discipline: integer positions and exact strings only; the
+# output text is compared by md5.
+_Q134_SENT = {"pre": "<PRE>", "suf": "<SUF>", "mid": "<MID>"}
+
+
+def _q134_h_sql(salt: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR) || '{salt}'),"
+        f" 1, 8)) AS UBIGINT)"
+    )
+
+
+_Q134_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n,
+         {_q134_h_sql(':fim')} % 2 = 0 AND LENGTH(text) >= 2 AS is_fim,
+         {_q134_h_sql(':spm')} % 2 = 1 AS is_spm
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, text, n, is_fim, is_spm,
+         LEAST({_q134_h_sql(':c1')} % n, {_q134_h_sql(':c2')} % n) AS lo,
+         GREATEST({_q134_h_sql(':c1')} % n, {_q134_h_sql(':c2')} % n) AS hi
+  FROM d WHERE is_fim
+),
+fim AS (
+  SELECT doc_id,
+         CASE WHEN is_spm THEN 'spm' ELSE 'psm' END AS mode,
+         lo AS len_prefix, hi - lo AS len_middle, n - hi AS len_suffix,
+         CASE WHEN is_spm
+           THEN '{_Q134_SENT["suf"]}' || SUBSTRING(text, CAST(hi + 1 AS INT))
+                || '{_Q134_SENT["pre"]}' || SUBSTRING(text, 1, CAST(lo AS INT))
+                || '{_Q134_SENT["mid"]}' || SUBSTRING(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+           ELSE '{_Q134_SENT["pre"]}' || SUBSTRING(text, 1, CAST(lo AS INT))
+                || '{_Q134_SENT["suf"]}' || SUBSTRING(text, CAST(hi + 1 AS INT))
+                || '{_Q134_SENT["mid"]}' || SUBSTRING(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+         END AS fim_text
+  FROM cuts
+),
+plain AS (
+  SELECT doc_id, 'plain' AS mode,
+         n AS len_prefix, CAST(0 AS BIGINT) AS len_middle,
+         CAST(0 AS BIGINT) AS len_suffix, text AS fim_text
+  FROM d WHERE NOT is_fim
+)
+SELECT doc_id, mode,
+       CAST(len_prefix AS BIGINT) AS len_prefix,
+       CAST(len_middle AS BIGINT) AS len_middle,
+       CAST(len_suffix AS BIGINT) AS len_suffix,
+       md5(fim_text) AS fim_md5
+FROM (SELECT * FROM fim UNION ALL SELECT * FROM plain)
+"""
+
+
+def _q134_h(salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register("q134_fim_transform", oracle=_Q134_ORACLE)
+def q134_fim_transform(spark, sf_dir):
+    # single-scan CASE form: the oracle unions a fim and a plain CTE for
+    # SQL clarity, but scanning the corpus twice for a row-local rewrite
+    # is exactly the 2x read a 100 TB run cannot afford — every branch
+    # here is a conditional expression over ONE pass (PLANS.md: 1 scan,
+    # 0 shuffles). On plain rows with n = 0 the cut exprs go NULL
+    # (Spark's % 0) but the CASE never selects them.
+    pre, suf, mid = (
+        F.lit(_Q134_SENT["pre"]),
+        F.lit(_Q134_SENT["suf"]),
+        F.lit(_Q134_SENT["mid"]),
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n"),
+        ((_q134_h(":fim") % 2 == 0) & (F.length("text") >= 2)).alias("is_fim"),
+        (_q134_h(":spm") % 2 == 1).alias("is_spm"),
+    )
+    c1, c2 = _q134_h(":c1") % F.col("n"), _q134_h(":c2") % F.col("n")
+    cuts = d.select(
+        "doc_id",
+        "text",
+        "n",
+        "is_fim",
+        "is_spm",
+        F.least(c1, c2).alias("lo"),
+        F.greatest(c1, c2).alias("hi"),
+    )
+    prefix = F.expr("substring(text, 1, cast(lo as int))")
+    middle = F.expr("substring(text, cast(lo + 1 as int), cast(hi - lo as int))")
+    suffix = F.expr("substring(text, cast(hi + 1 as int))")
+    is_fim = F.col("is_fim")
+    fim_text = (
+        F.when(~is_fim, F.col("text"))
+        .when(F.col("is_spm"), F.concat(suf, suffix, pre, prefix, mid, middle))
+        .otherwise(F.concat(pre, prefix, suf, suffix, mid, middle))
+    )
+    return cuts.select(
+        "doc_id",
+        F.when(~is_fim, "plain")
+        .when(F.col("is_spm"), "spm")
+        .otherwise("psm")
+        .alias("mode"),
+        F.when(is_fim, F.col("lo")).otherwise(F.col("n")).alias("len_prefix"),
+        F.when(is_fim, F.col("hi") - F.col("lo"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("len_middle"),
+        F.when(is_fim, F.col("n") - F.col("hi"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("len_suffix"),
+        F.md5(fim_text.cast("binary")).alias("fim_md5"),
+    )

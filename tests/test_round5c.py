@@ -307,3 +307,51 @@ def test_q133_ccnet_buckets_properties(spark):
         srt = sorted(rs, key=lambda r: (-r["avg_logp"], lo[r["ppl_bucket"]]))
         ranks = [lo[r["ppl_bucket"]] for r in srt]
         assert ranks == sorted(ranks, reverse=True), f"{lang}: buckets not monotone in score"
+
+
+def test_q134_fim_reconstruction(spark):
+    """Independent Python FIM over the raw parquet: identical md5-coin
+    decisions, identical cuts, and the serialized form reconstructs the
+    original text exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from sparkextract.queries.round5c import _Q134_SENT, q134_fim_transform
+
+    def h(doc_id, salt):
+        return int(
+            hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:8], 16
+        )
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    rows = q134_fim_transform(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    n_fim = 0
+    for r in rows:
+        text = docs[r["doc_id"]]
+        n = len(text)
+        is_fim = h(r["doc_id"], ":fim") % 2 == 0 and n >= 2
+        if not is_fim:
+            assert r["mode"] == "plain"
+            assert (r["len_prefix"], r["len_middle"], r["len_suffix"]) == (n, 0, 0)
+            exp = text
+        else:
+            n_fim += 1
+            lo, hi = sorted((h(r["doc_id"], ":c1") % n, h(r["doc_id"], ":c2") % n))
+            p, m, s = text[:lo], text[lo:hi], text[hi:]
+            assert p + m + s == text  # reconstruction
+            assert (r["len_prefix"], r["len_middle"], r["len_suffix"]) == (
+                len(p), len(m), len(s),
+            )
+            if h(r["doc_id"], ":spm") % 2 == 1:
+                assert r["mode"] == "spm"
+                exp = (_Q134_SENT["suf"] + s + _Q134_SENT["pre"] + p
+                       + _Q134_SENT["mid"] + m)
+            else:
+                assert r["mode"] == "psm"
+                exp = (_Q134_SENT["pre"] + p + _Q134_SENT["suf"] + s
+                       + _Q134_SENT["mid"] + m)
+        assert r["fim_md5"] == hashlib.md5(exp.encode()).hexdigest()
+    assert n_fim > 0

@@ -108,7 +108,11 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_bigrams", "long"), ("n_distinct_bigrams", "long"),
          ("dup_frac", "double"), ("top_word_frac", "double"),
          ("avg_logp", "double"), ("entropy", "double"),
-         ("ppl_bucket", "string")],
+         ("ppl_bucket", "string"), ("n_stop", "long"), ("logit_u", "long"),
+         ("n_pos", "long"), ("n_neg", "long"), ("n_bins", "long"),
+         ("auc_u", "long"), ("threshold_u", "long"), ("tp", "long"),
+         ("fp", "long"), ("fn", "long"), ("precision_u", "long"),
+         ("recall_u", "long"), ("f1_u", "long")],
         [
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
@@ -133,6 +137,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("ccnet_buckets", "q133_ccnet_buckets",
              {"doc_id": "doc_id", "lang": "lang",
               "avg_logp": "avg_logp", "ppl_bucket": "ppl_bucket"}),
+            ("classifier", "q135_quality_classifier",
+             {"doc_id": "doc_id", "n_words": "n_tokens",
+              "n_stop": "n_stop", "logit_u": "logit_u", "keep": "keep"}),
+            ("roc_auc", "q137_roc_auc",
+             {"n_pos": "n_pos", "n_neg": "n_neg", "n_bins": "n_bins",
+              "auc_u": "auc_u"}),
+            ("pr_thresholds", "q138_pr_thresholds",
+             {"threshold_u": "threshold_u", "tp": "tp", "fp": "fp",
+              "fn": "fn", "precision_u": "precision_u",
+              "recall_u": "recall_u", "f1_u": "f1_u"}),
             ("clean_pipeline", "q76_clean_pipeline",
              {"lang": "lang", "source": "source", "n_docs": "n_docs",
               "total_words": "total_words", "n_suppressed": "n_suppressed",
@@ -606,7 +620,8 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("g0", "long"), ("g1", "long"), ("anon_level", "int"),
          ("released", "boolean"), ("was_mojibake", "boolean"),
          ("n_bad_seqs", "long"), ("repaired_md5", "string"),
-         ("roundtrip_ok", "boolean")],
+         ("roundtrip_ok", "boolean"), ("n_green", "long"),
+         ("z_u", "long")],
         [
             ("pipeline", "q94_corpus_clean_pipeline",
              {"doc_id": "doc_id", "n_tokens": "n_tokens",
@@ -625,6 +640,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"doc_id": "doc_id", "lang": "lang", "source": "source",
               "len_bucket": "len_bucket", "g0": "g0", "g1": "g1",
               "anon_level": "anon_level", "released": "released"}),
+            ("watermark", "q136_watermark_detect",
+             {"doc_id": "doc_id", "n_windows": "n_bigrams",
+              "n_green": "n_green", "z_u": "z_u", "flagged": "flagged"}),
             ("encoding_repair", "q132_encoding_repair",
              {"doc_id": "doc_id", "was_mojibake": "was_mojibake",
               "n_bad_seqs": "n_bad_seqs", "repaired_md5": "repaired_md5",

@@ -1,0 +1,434 @@
+"""Round-5 continuation wave 2: model-based quality filtering and its
+evaluation loop, plus synthetic-text (watermark) detection.
+
+q135 — LINEAR QUALITY-CLASSIFIER INFERENCE (the fastText / logistic
+"quality classifier" stage every production LLM corpus pipeline runs:
+GPT-3's WebText-similarity logistic regression, LLaMA's fastText
+filter, CCNet's linear LM gate). A frozen broadcast weight vector is
+applied to deterministic per-doc features; the gate is the sign of the
+logit. The sigmoid is deliberately NOT computed: it is monotone, so
+``keep = logit >= 0`` is the identical decision with zero
+transcendental ops on the output surface.
+
+Features (all doc-local, snapped to exact BIGINT micro-units the
+moment a double appears — the q128/q111 discipline):
+    f_len_u  = round(ln(1 + n_tokens) * 1e6)        (length prior)
+    f_mwl_u  = round(sum_len / n_tokens * 1e6)      (mean word length)
+    f_uniq_u = round(n_distinct / n_tokens * 1e6)   (type/token ratio)
+    f_stop_u = round(n_stop / n_tokens * 1e6)       (stopword fraction)
+    logit_u  = 2*f_len_u + f_mwl_u + 3*f_uniq_u - 4*f_stop_u - 13_700_000
+
+The bias centers the gate near the corpus median (measured at sf0.01)
+so both classes are populated at every SF. After the four snaps the
+logit is pure 64-bit integer arithmetic — bit-identical across engines.
+Reference intent: the quality/confidence scoring pass of
+/root/reference/src/table_evaluator.py (rule scores folded into one
+accept decision), upgraded to the learned-linear-filter shape a 100 TB
+corpus actually uses.
+
+Scale shape: ONE map-only scan of documents — tokenization, feature
+extraction and the dot product are all array expressions inside
+whole-stage codegen; no explode, no shuffle, no UDF. The weight
+"vector" is 5 literals (a real model would broadcast it; at 5 terms
+the literal form IS the broadcast).
+
+q136 — LLM-WATERMARK GREEN-LIST DETECTION (Kirchenbauer et al. 2023,
+"A Watermark for Large Language Models"): a watermarked generator
+boosts tokens whose hash with the previous token lands in a "green
+list" of fraction gamma; a detector recomputes the green fraction g/n
+over the token stream and flags documents whose one-proportion z-score
+
+    z = (g - gamma*n) / sqrt(n * gamma * (1 - gamma)),   gamma = 1/4
+
+exceeds 2 — the synthetic-text screening pass a training-data pipeline
+runs to keep model output out of the next model's corpus. Green
+membership is the engine-portable md5 bucket of ``prev||'|'||tok``
+(exactly the reference's keyed-hash scheme with md5 as the PRF).
+gamma = 1/4 and gamma*(1-gamma) = 3/16 are exact binary fractions, g
+and n are integers, and sqrt/division are correctly-rounded IEEE ops,
+so z is bit-identical across engines before the micro-unit snap.
+
+Scale shape: ONE map-only scan — bigrams, hashing and the green count
+are array lambda expressions; no explode, no shuffle. Docs with fewer
+than 2 tokens have no scored bigram and are excluded (WHERE mirrored
+in both engines).
+
+q137 — BINNED ROC-AUC (Mann-Whitney form). Evaluates the q135
+classifier against a deterministic reference label (lang = 'en').
+AUC = P(s_pos > s_neg) + P(tie)/2 is computed exactly over scores
+quantized into fixed 0.5-logit-unit bins:
+
+    b = clamp(floor(logit_u / 500_000), -40, 40)     (<= 81 bins)
+    AUC*2*P*N = sum_b [ 2 * pos_b * cumneg_<b  +  pos_b * neg_b ]
+
+The per-bin (pos, neg) histogram is a map-side-combinable groupBy; the
+cumulative sits on a PROVABLY TINY grain (<= 81 rows — the documented
+exception to the no-global-window rule, see CLAUDE.md), and the final
+ratio is one IEEE division of exact integers. This is how AUC is
+actually computed at corpus scale (a global sort of 100 TB of scores
+is never run; every production metric stack bins first).
+
+q138 — PRECISION/RECALL/F1 THRESHOLD SWEEP over the same binned
+histogram: 7 fixed thresholds (multiples of the bin width, so
+``logit_u >= t  <=>  b >= t/500_000`` holds EXACTLY for integer
+logits), each threshold's confusion counts reduced from the <= 81-row
+histogram — the tiny-side cross join costs 81*7 rows. Counts are
+integers; the P/R/F1 ratios are single IEEE divisions snapped to
+micro-units; empty denominators yield the panel sentinel -1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkextract.queries.base import load, md5_bucket, md5_bucket_sql, register
+
+# --------------------------------------------------------------------------
+# q135: linear quality-classifier inference
+
+_Q135_STOP = ("a", "the", "of", "to")
+_Q135_BIAS = -13_700_000  # centers keep near the sf0.01 corpus median
+# weights on the micro-unit features: (f_len, f_mwl, f_uniq, f_stop)
+_Q135_W = (2, 1, 3, -4)
+
+_Q135_STOP_SQL = ", ".join(f"'{s}'" for s in _Q135_STOP)
+
+# shared core: doc_id, lang, n_tokens, n_stop, logit_u, keep
+# (q137/q138 re-select from this same text)
+_Q135_CORE_SQL = f"""
+  SELECT doc_id, lang, n_tokens, n_stop,
+         CAST({_Q135_W[0]}
+                * CAST(ROUND(ln(1 + n_tokens) * 1000000.0) AS BIGINT)
+              + {_Q135_W[1]}
+                * CAST(ROUND(CAST(sum_len AS DOUBLE) / n_tokens
+                             * 1000000.0) AS BIGINT)
+              + {_Q135_W[2]}
+                * CAST(ROUND(CAST(n_distinct AS DOUBLE) / n_tokens
+                             * 1000000.0) AS BIGINT)
+              + ({_Q135_W[3]})
+                * CAST(ROUND(CAST(n_stop AS DOUBLE) / n_tokens
+                             * 1000000.0) AS BIGINT)
+              + ({_Q135_BIAS}) AS BIGINT) AS logit_u
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)
+             AS sum_len,
+           CAST(len(list_filter(l, x -> x IN ({_Q135_STOP_SQL})))
+                AS BIGINT) AS n_stop
+    FROM (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    )
+    WHERE len(l) >= 1
+  )
+"""
+
+_Q135_ORACLE = f"""
+SELECT doc_id, n_tokens, n_stop, logit_u, (logit_u >= 0) AS keep
+FROM ({_Q135_CORE_SQL})
+"""
+
+
+def _q135_features(spark, sf_dir):
+    """doc_id, lang, n_tokens, n_stop, logit_u — the shared classifier
+    core (map-only: one documents scan, array exprs, no shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = docs.select(
+        "doc_id", "lang", toks.alias("l")
+    ).filter(F.size("l") >= 1)
+    l = F.col("l")
+
+    # OR-chain membership test (portable inside array lambdas)
+    def _is_stop(x):
+        e = x == F.lit(_Q135_STOP[0])
+        for s in _Q135_STOP[1:]:
+            e = e | (x == F.lit(s))
+        return e
+
+    n_tokens = F.size(l).cast("long")
+    n_distinct = F.size(F.array_distinct(l)).cast("long")
+    sum_len = F.aggregate(
+        l, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter(l, _is_stop)).cast("long")
+
+    def _u(x):
+        return F.round(x * F.lit(1000000.0)).cast("long")
+
+    nt_d = n_tokens.cast("double")
+    f_len = _u(F.log(F.lit(1) + n_tokens))
+    f_mwl = _u(sum_len.cast("double") / nt_d)
+    f_uniq = _u(n_distinct.cast("double") / nt_d)
+    f_stop = _u(n_stop.cast("double") / nt_d)
+    logit = (
+        F.lit(_Q135_W[0]).cast("long") * f_len
+        + F.lit(_Q135_W[1]).cast("long") * f_mwl
+        + F.lit(_Q135_W[2]).cast("long") * f_uniq
+        + F.lit(_Q135_W[3]).cast("long") * f_stop
+        + F.lit(_Q135_BIAS).cast("long")
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        logit.alias("logit_u"),
+    )
+
+
+@register("q135_quality_classifier", oracle=_Q135_ORACLE)
+def q135_quality_classifier(spark, sf_dir):
+    f = _q135_features(spark, sf_dir)
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        "logit_u",
+        (F.col("logit_u") >= 0).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q136: LLM-watermark green-list detection
+
+_Q136_GAMMA_DEN = 4  # gamma = 1/4; gamma*(1-gamma) = 3/16 = 0.1875
+_Q136_Z_FLAG_U = 2_000_000  # flag at z >= 2
+
+_Q136_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(range(2, len(l) + 1),
+                        i -> l[i - 1] || '|' || l[i]) AS bg
+  FROM t WHERE len(l) >= 2
+),
+g AS (
+  SELECT doc_id,
+         CAST(len(bg) AS BIGINT) AS n_bigrams,
+         CAST(len(list_filter(bg,
+              x -> {md5_bucket_sql('x', _Q136_GAMMA_DEN)} = 0))
+              AS BIGINT) AS n_green
+  FROM b
+)
+SELECT doc_id, n_bigrams, n_green,
+       CAST(ROUND((n_green - 0.25 * n_bigrams)
+                  / sqrt(0.1875 * n_bigrams) * 1000000.0) AS BIGINT) AS z_u,
+       (CAST(ROUND((n_green - 0.25 * n_bigrams)
+                   / sqrt(0.1875 * n_bigrams) * 1000000.0) AS BIGINT)
+        >= {_Q136_Z_FLAG_U}) AS flagged
+FROM g
+"""
+
+
+@register("q136_watermark_detect", oracle=_Q136_ORACLE)
+def q136_watermark_detect(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
+    l = F.col("l")
+    bg = F.transform(
+        F.sequence(F.lit(2), F.size(l)),
+        lambda i: F.concat(
+            F.element_at(l, i - F.lit(1)), F.lit("|"), F.element_at(l, i)
+        ),
+    )
+    b = t.select("doc_id", bg.alias("bg"))
+    n = F.size("bg").cast("long")
+    g = F.size(
+        F.filter("bg", lambda x: md5_bucket(x, _Q136_GAMMA_DEN) == 0)
+    ).cast("long")
+    scored = b.select(
+        "doc_id", n.alias("n_bigrams"), g.alias("n_green")
+    )
+    nb = F.col("n_bigrams").cast("double")
+    z = F.round(
+        (F.col("n_green") - F.lit(0.25) * nb)
+        / F.sqrt(F.lit(0.1875) * nb)
+        * F.lit(1000000.0)
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_green",
+        z.alias("z_u"),
+        (z >= _Q136_Z_FLAG_U).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q137 / q138: classifier evaluation over the binned score histogram
+
+_Q137_BIN_U = 500_000  # histogram bin width in logit micro-units
+_Q137_BIN_CLAMP = 40  # bins clamp to [-40, 40] -> <= 81 rows, provably tiny
+
+# shared histogram: (b, pos_b, neg_b) — label is lang = 'en'
+_Q137_HIST_SQL = f"""
+  SELECT LEAST(GREATEST(CAST(FLOOR(logit_u / {_Q137_BIN_U}.0) AS INTEGER),
+                        -{_Q137_BIN_CLAMP}), {_Q137_BIN_CLAMP}) AS b,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pos_b,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+           AS neg_b
+  FROM ({_Q135_CORE_SQL})
+  GROUP BY 1
+"""
+
+_Q137_ORACLE = f"""
+WITH bkt AS ({_Q137_HIST_SQL}),
+c AS (
+  SELECT b, pos_b, neg_b,
+         COALESCE(SUM(neg_b) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumneg_lt
+  FROM bkt
+)
+SELECT CAST(SUM(pos_b) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_b) AS BIGINT) AS n_neg,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(ROUND(CAST(SUM(2 * pos_b * cumneg_lt + pos_b * neg_b)
+                       AS DOUBLE) * 1000000.0
+                  / (2.0 * SUM(pos_b) * SUM(neg_b))) AS BIGINT) AS auc_u
+FROM c
+"""
+
+
+def _q137_hist(spark, sf_dir):
+    f = _q135_features(spark, sf_dir)
+    b = F.least(
+        F.greatest(
+            F.floor(F.col("logit_u") / F.lit(float(_Q137_BIN_U))).cast("int"),
+            F.lit(-_Q137_BIN_CLAMP),
+        ),
+        F.lit(_Q137_BIN_CLAMP),
+    )
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return f.groupBy(b.alias("b")).agg(
+        F.sum(pos).cast("long").alias("pos_b"),
+        F.sum(1 - pos).cast("long").alias("neg_b"),
+    )
+
+
+@register("q137_roc_auc", oracle=_Q137_ORACLE)
+def q137_roc_auc(spark, sf_dir):
+    bkt = _q137_hist(spark, sf_dir)
+    # <= 81 rows: the documented tiny-grain exception to the
+    # no-global-window rule (CLAUDE.md) — identical shape to the oracle
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    c = bkt.select(
+        "b",
+        "pos_b",
+        "neg_b",
+        F.coalesce(F.sum("neg_b").over(w), F.lit(0)).alias("cumneg_lt"),
+    )
+    num2 = F.sum(
+        2 * F.col("pos_b") * F.col("cumneg_lt")
+        + F.col("pos_b") * F.col("neg_b")
+    )
+    p = F.sum("pos_b")
+    n = F.sum("neg_b")
+    return c.agg(
+        p.cast("long").alias("n_pos"),
+        n.cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            num2.cast("double") * F.lit(1000000.0)
+            / (F.lit(2.0) * p * n)
+        )
+        .cast("long")
+        .alias("auc_u"),
+    )
+
+
+# thresholds: multiples of the bin width, so logit_u >= t <=> b >= t/width
+_Q138_THRESHOLDS_U = (
+    -2_000_000,
+    -1_500_000,
+    -1_000_000,
+    -500_000,
+    0,
+    500_000,
+    1_000_000,
+)
+
+
+def _q138_ratio_sql(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} = 0 THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST(ROUND(CAST({num} AS DOUBLE) * 1000000.0 "
+        f"/ ({den})) AS BIGINT) END"
+    )
+
+
+_Q138_ORACLE = f"""
+WITH bkt AS ({_Q137_HIST_SQL}),
+thr AS (
+  SELECT UNNEST([{", ".join(str(t) for t in _Q138_THRESHOLDS_U)}])
+    AS threshold_u
+),
+cm AS (
+  SELECT t.threshold_u,
+         CAST(SUM(CASE WHEN b.b >= t.threshold_u / {_Q137_BIN_U}
+                       THEN b.pos_b ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN b.b >= t.threshold_u / {_Q137_BIN_U}
+                       THEN b.neg_b ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN b.b >= t.threshold_u / {_Q137_BIN_U}
+                       THEN 0 ELSE b.pos_b END) AS BIGINT) AS fn
+  FROM thr t CROSS JOIN bkt b
+  GROUP BY 1
+)
+SELECT threshold_u, tp, fp, fn,
+       {_q138_ratio_sql('tp', 'tp + fp')} AS precision_u,
+       {_q138_ratio_sql('tp', 'tp + fn')} AS recall_u,
+       {_q138_ratio_sql('2 * tp', '2 * tp + fp + fn')} AS f1_u
+FROM cm
+"""
+
+
+@register("q138_pr_thresholds", oracle=_Q138_ORACLE)
+def q138_pr_thresholds(spark, sf_dir):
+    bkt = _q137_hist(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t,) for t in _Q138_THRESHOLDS_U], "threshold_u long"
+    )
+    # tiny x tiny: <= 81-row histogram against 7 broadcast thresholds
+    k = (F.col("threshold_u") / _Q137_BIN_U).cast("int")
+    hit = F.col("b") >= k
+    cm = (
+        bkt.crossJoin(F.broadcast(thr))
+        .groupBy("threshold_u")
+        .agg(
+            F.sum(F.when(hit, F.col("pos_b")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit, F.col("neg_b")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(hit, F.lit(0)).otherwise(F.col("pos_b")))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+
+    def _ratio(num, den):
+        return F.when(den == 0, F.lit(-1).cast("long")).otherwise(
+            F.round(num.cast("double") * F.lit(1000000.0) / den).cast("long")
+        )
+
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "threshold_u",
+        "tp",
+        "fp",
+        "fn",
+        _ratio(tp, tp + fp).alias("precision_u"),
+        _ratio(tp, tp + fn).alias("recall_u"),
+        _ratio(2 * tp, 2 * tp + fp + fn).alias("f1_u"),
+    )

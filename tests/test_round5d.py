@@ -1,0 +1,148 @@
+"""q135-q138 (classifier inference, watermark detection, binned AUC,
+PR sweep): structural invariants plus an independent pure-Python
+re-implementation over the raw parquet — a third implementation next
+to the Spark plan and the DuckDB oracle, guarding the semantics
+themselves (feature formulas, green-list PRF, Mann-Whitney identity)."""
+
+import hashlib
+import math
+import os
+
+import pytest
+
+from sparkextract.spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("sparkextract-r5d-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+def _docs(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    return list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("lang").to_pylist(),
+        )
+    )
+
+
+def _py_logit(text):
+    from sparkextract.queries.round5d import _Q135_BIAS, _Q135_STOP, _Q135_W
+
+    toks = [x for x in text.split(" ") if x != ""]
+    n = len(toks)
+    if n < 1:
+        return None
+    f_len = round(math.log(1 + n) * 1e6)
+    f_mwl = round(sum(len(x) for x in toks) / n * 1e6)
+    f_uniq = round(len(set(toks)) / n * 1e6)
+    n_stop = sum(1 for x in toks if x in _Q135_STOP)
+    f_stop = round(n_stop / n * 1e6)
+    w = _Q135_W
+    return (
+        w[0] * f_len + w[1] * f_mwl + w[2] * f_uniq + w[3] * f_stop
+        + _Q135_BIAS
+    )
+
+
+def _md5_bucket(s, n):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+
+
+def test_q135_matches_pure_python(spark):
+    from sparkextract.queries.round5d import q135_quality_classifier
+
+    rows = {
+        r["doc_id"]: r
+        for r in q135_quality_classifier(spark, SF_DIR).collect()
+    }
+    expected = {d: _py_logit(t) for d, t, _l in _docs(SF_DIR)}
+    expected = {d: v for d, v in expected.items() if v is not None}
+    assert set(rows) == set(expected)
+    for d, logit in expected.items():
+        assert rows[d]["logit_u"] == logit, d
+        assert rows[d]["keep"] == (logit >= 0), d
+    keeps = {r["keep"] for r in rows.values()}
+    assert keeps == {True, False}  # the bias splits the corpus
+
+
+def test_q136_matches_pure_python(spark):
+    from sparkextract.queries.round5d import (
+        _Q136_GAMMA_DEN,
+        _Q136_Z_FLAG_U,
+        q136_watermark_detect,
+    )
+
+    rows = {
+        r["doc_id"]: r for r in q136_watermark_detect(spark, SF_DIR).collect()
+    }
+    for d, text, _l in _docs(SF_DIR):
+        toks = [x for x in text.split(" ") if x != ""]
+        if len(toks) < 2:
+            assert d not in rows
+            continue
+        bg = [f"{a}|{b}" for a, b in zip(toks, toks[1:])]
+        g = sum(1 for x in bg if _md5_bucket(x, _Q136_GAMMA_DEN) == 0)
+        n = len(bg)
+        z = round((g - 0.25 * n) / math.sqrt(0.1875 * n) * 1e6)
+        r = rows[d]
+        assert (r["n_bigrams"], r["n_green"], r["z_u"]) == (n, g, z), d
+        assert r["flagged"] == (z >= _Q136_Z_FLAG_U), d
+
+
+def test_q137_auc_matches_pairwise_definition(spark):
+    """Binned AUC equals the O(P*N) pairwise Mann-Whitney statistic
+    computed directly over the binned scores."""
+    from sparkextract.queries.round5d import (
+        _Q137_BIN_CLAMP,
+        _Q137_BIN_U,
+        q137_roc_auc,
+    )
+
+    row = q137_roc_auc(spark, SF_DIR).collect()[0]
+    pos, neg = [], []
+    for d, text, lang in _docs(SF_DIR):
+        logit = _py_logit(text)
+        if logit is None:
+            continue
+        b = min(max(math.floor(logit / _Q137_BIN_U), -_Q137_BIN_CLAMP),
+                _Q137_BIN_CLAMP)
+        (pos if lang == "en" else neg).append(b)
+    num2 = sum(
+        2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+    )
+    auc_u = round(num2 * 1e6 / (2 * len(pos) * len(neg)))
+    assert row["n_pos"] == len(pos)
+    assert row["n_neg"] == len(neg)
+    assert row["auc_u"] == auc_u
+    assert 0 <= row["auc_u"] <= 1_000_000
+
+
+def test_q138_confusion_consistency(spark):
+    from sparkextract.queries.round5d import (
+        _Q138_THRESHOLDS_U,
+        q138_pr_thresholds,
+    )
+
+    rows = sorted(
+        q138_pr_thresholds(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold_u"],
+    )
+    assert [r["threshold_u"] for r in rows] == sorted(_Q138_THRESHOLDS_U)
+    n_pos = {r["tp"] + r["fn"] for r in rows}
+    assert len(n_pos) == 1  # tp + fn is the positive count at every t
+    # recall is monotone nonincreasing as the threshold rises
+    recalls = [r["recall_u"] for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    # tp/fp monotone nonincreasing too (threshold only removes hits)
+    for col in ("tp", "fp"):
+        vals = [r[col] for r in rows]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))

@@ -58,8 +58,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # score = jaccard / cosine / hamming per the probe (exact pairs carry
     # no score).
     "panel_dup_pairs": (
-        [("left_id", "long"), ("right_id", "long"), ("score", "double")],
+        [("left_id", "long"), ("right_id", "long"), ("score", "double"),
+         ("n_shared_keys", "long"), ("jaccard_u", "long")],
         [
+            ("bitext_blocked", "q139_bitext_candidates",
+             {"left_id": "left_id", "right_id": "right_id",
+              "n_shared_keys": "n_shared_keys", "jaccard_u": "jaccard_u"}),
             ("exact_hash", "q13_dup_pairs_selfjoin",
              {"left_id": "left_id", "right_id": "right_id"}),
             ("ngram_jaccard", "q20_jaccard_neighbors",
@@ -236,8 +240,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("doc_id", "long"), ("n_chars", "long"), ("samp_key", "double"),
          ("rk", "long"),
          ("est_p50", "long"), ("est_p90", "long"), ("est_p99", "long"),
-         ("mix_weight", "double"), ("epochs_per_doc", "double")],
+         ("mix_weight", "double"), ("epochs_per_doc", "double"),
+         ("n_keep", "long"), ("n_folds", "long"), ("keep_rate_u", "long"),
+         ("se_u", "long"), ("ci_lo_u", "long"), ("ci_hi_u", "long")],
         [
+            ("jackknife_ci", "q140_jackknife_ci",
+             {"n_docs": "n_docs", "n_keep": "n_keep", "n_folds": "n_folds",
+              "keep_rate_u": "keep_rate_u", "se_u": "se_u",
+              "ci_lo_u": "ci_lo_u", "ci_hi_u": "ci_hi_u"}),
             ("mixture_weights", "q90_mixture_weights",
              {"lang": "lang", "n_docs": "n_docs", "total_chars": "total_chars",
               "mix_weight": "mix_weight", "epochs_per_doc": "epochs_per_doc"}),

@@ -75,6 +75,38 @@ logits), each threshold's confusion counts reduced from the <= 81-row
 histogram — the tiny-side cross join costs 81*7 rows. Counts are
 integers; the P/R/F1 ratios are single IEEE divisions snapped to
 micro-units; empty denominators yield the panel sentinel -1.
+q139 — BLOCKED CROSS-LINGUAL CANDIDATE MINING (the record-linkage /
+bitext-mining shape: CCMatrix/CCAligned candidate generation, and the
+classic blocking technique of the entity-resolution literature —
+Papadakis et al., "Blocking and Filtering Techniques for Entity
+Resolution", CSUR 2020). All-pairs comparison of an English side
+against a non-English side is O(N^2) and impossible at corpus scale;
+the standard fix is an inverted index over RARE blocking keys — here
+5-gram token shingles with global document frequency in [2, 10] — so
+each key joins at most C(10,2) pairs and hot shingles (boilerplate)
+are excluded by the df cap itself. Candidates sharing >= 1 rare key
+are then scored EXACTLY (full token-set Jaccard) by two doc_id-keyed
+joins against the token-set table — never a token-keyed join over the
+full inverted index, which is where the hot-key blowup lives.
+
+Scale shape: the shingle table is built once per (session, input) via
+checkpoint_memo (three subtrees read it: the df filter, the en side,
+the xx side); the df cap bounds per-key fan-out; candidate scoring is
+doc_id-keyed. Every shuffle key is either a rare shingle or a doc_id.
+
+q140 — DELETE-GROUP JACKKNIFE CONFIDENCE INTERVAL for the corpus keep
+rate (the error bar every data-quality report needs; Efron 1982). The
+corpus is md5-split into F = 32 folds; fold i's replicate is the keep
+rate with fold i deleted, p_i = (K - k_i)/(N - n_i), and
+
+    se^2 = (F-1)/F * sum_i (p_i - mean(p_i))^2,   CI = p +- 1.96*se
+
+Per-fold (n_i, k_i) is ONE map-side-combinable groupBy over the q135
+gate; everything after runs on the 32-row fold table (tiny grain).
+Numeric discipline: replicates and squared deviations are
+ROUND(..., 12)-frozen and summed as DECIMAL(18,12) before the final
+sqrt — the established exact-decimal-sum recipe for anything fed by
+IEEE division.
 """
 
 from __future__ import annotations
@@ -82,7 +114,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkextract.queries.base import load, md5_bucket, md5_bucket_sql, register
+from sparkextract.queries.base import (
+    checkpoint_memo,
+    load,
+    md5_bucket,
+    md5_bucket_sql,
+    register,
+)
 
 # --------------------------------------------------------------------------
 # q135: linear quality-classifier inference
@@ -431,4 +469,236 @@ def q138_pr_thresholds(spark, sf_dir):
         _ratio(tp, tp + fp).alias("precision_u"),
         _ratio(tp, tp + fn).alias("recall_u"),
         _ratio(2 * tp, 2 * tp + fp + fn).alias("f1_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q139: blocked cross-lingual candidate mining
+
+_Q139_K = 5  # blocking key: 5-gram token shingle
+_Q139_DF_LO = 2  # a key seen once links nothing
+_Q139_DF_HI = 10  # df cap: <= C(10,2) pairs per key, hot keys excluded
+
+_Q139_GRAM_SQL = "||'|'||".join(
+    f"l[i - {_Q139_K - 1 - j}]" for j in range(_Q139_K)
+)
+
+_Q139_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+gr AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range({_Q139_K}, len(l) + 1),
+                               i -> {_Q139_GRAM_SQL})) AS g
+  FROM t WHERE len(l) >= {_Q139_K}
+),
+keys AS (
+  SELECT g FROM gr GROUP BY g
+  HAVING count(*) BETWEEN {_Q139_DF_LO} AND {_Q139_DF_HI}
+),
+cand AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         CAST(count(*) AS BIGINT) AS n_shared_keys
+  FROM gr a JOIN keys USING (g) JOIN gr b USING (g)
+  WHERE a.lang = 'en' AND b.lang <> 'en'
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS s
+  FROM documents
+)
+SELECT c.left_id, c.right_id, c.n_shared_keys,
+       CAST(ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  * 1000000.0
+                  / len(list_distinct(list_concat(sa.s, sb.s))))
+            AS BIGINT) AS jaccard_u
+FROM cand c
+JOIN s sa ON sa.doc_id = c.left_id
+JOIN s sb ON sb.doc_id = c.right_id
+"""
+
+
+@register("q139_bitext_candidates", oracle=_Q139_ORACLE)
+def q139_bitext_candidates(spark, sf_dir):
+    def _build_grams():
+        docs = load(spark, sf_dir, "documents")
+        toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        t = docs.select("doc_id", "lang", toks.alias("l")).filter(
+            F.size("l") >= _Q139_K
+        )
+        l = F.col("l")
+        gram = F.transform(
+            F.sequence(F.lit(_Q139_K), F.size(l)),
+            lambda i: F.concat_ws(
+                "|",
+                *[
+                    F.element_at(l, i - F.lit(_Q139_K - 1 - j))
+                    for j in range(_Q139_K)
+                ],
+            ),
+        )
+        return t.select(
+            "doc_id", "lang", F.explode(F.array_distinct(gram)).alias("g")
+        )
+
+    # three subtrees consume the shingle table (df filter, en side, xx
+    # side) — materialize it once per (session, input)
+    gr = checkpoint_memo(spark, sf_dir, "q139_grams", _build_grams)
+    keys = (
+        gr.groupBy("g")
+        .count()
+        .filter(F.col("count").between(_Q139_DF_LO, _Q139_DF_HI))
+        .select("g")
+    )
+    en = gr.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("left_id"), "g"
+    )
+    xx = gr.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("right_id"), "g"
+    )
+    cand = (
+        en.join(keys, "g")
+        .join(xx, "g")
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").cast("long").alias("n_shared_keys"))
+    )
+    sets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("s"),
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = F.round(
+        inter.cast("double") * F.lit(1000000.0) / union
+    ).cast("long")
+    return (
+        cand.join(sa, cand["left_id"] == sa["a_id"])
+        .join(sb, cand["right_id"] == sb["b_id"])
+        .select(
+            "left_id", "right_id", "n_shared_keys", jac.alias("jaccard_u")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q140: delete-group jackknife CI for the corpus keep rate
+
+_Q140_FOLDS = 32
+
+_Q140_ORACLE = f"""
+WITH f AS ({_Q135_CORE_SQL}),
+d AS (
+  SELECT {md5_bucket_sql("doc_id", _Q140_FOLDS)} AS fold,
+         (logit_u >= 0) AS keep
+  FROM f
+),
+per AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS k_i
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(k_i) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM per
+),
+rep AS (
+  SELECT p.fold, t.n, t.k, t.nf,
+         CAST(t.k - p.k_i AS DOUBLE) / (t.n - p.n_i) AS p_i
+  FROM per p CROSS JOIN tot t
+),
+m AS (
+  SELECT n, k, nf,
+         CAST(SUM(CAST(ROUND(p_i, 12) AS DECIMAL(18,12))) AS DOUBLE) / nf
+           AS pbar
+  FROM rep GROUP BY n, k, nf
+),
+dev AS (
+  SELECT r.n, r.k, r.nf,
+         CAST(SUM(CAST(ROUND((r.p_i - m.pbar) * (r.p_i - m.pbar), 12)
+                       AS DECIMAL(18,12))) AS DOUBLE) AS ss
+  FROM rep r CROSS JOIN m
+  GROUP BY r.n, r.k, r.nf
+)
+SELECT n AS n_docs, k AS n_keep, nf AS n_folds,
+       CAST(ROUND(CAST(k AS DOUBLE) / n * 1000000.0) AS BIGINT)
+         AS keep_rate_u,
+       CAST(ROUND(sqrt((nf - 1.0) / nf * ss) * 1000000.0) AS BIGINT)
+         AS se_u,
+       CAST(ROUND((CAST(k AS DOUBLE) / n
+                   - 1.96 * sqrt((nf - 1.0) / nf * ss)) * 1000000.0)
+            AS BIGINT) AS ci_lo_u,
+       CAST(ROUND((CAST(k AS DOUBLE) / n
+                   + 1.96 * sqrt((nf - 1.0) / nf * ss)) * 1000000.0)
+            AS BIGINT) AS ci_hi_u
+FROM dev
+"""
+
+
+@register("q140_jackknife_ci", oracle=_Q140_ORACLE)
+def q140_jackknife_ci(spark, sf_dir):
+    f = _q135_features(spark, sf_dir)
+    d = f.select(
+        md5_bucket(F.col("doc_id"), _Q140_FOLDS).alias("fold"),
+        (F.col("logit_u") >= 0).alias("keep"),
+    )
+    per = d.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("k_i"),
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("k_i").cast("long").alias("k"),
+        F.count("*").cast("long").alias("nf"),
+    )
+    rep = per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n",
+        "k",
+        "nf",
+        ((F.col("k") - F.col("k_i")).cast("double") / (F.col("n") - F.col("n_i")))
+        .alias("p_i"),
+    )
+    m = rep.groupBy("n", "k", "nf").agg(
+        (
+            F.sum(F.round("p_i", 12).cast("decimal(18,12)")).cast("double")
+            / F.col("nf")
+        ).alias("pbar")
+    )
+    dev = (
+        rep.crossJoin(F.broadcast(m.select("pbar")))
+        .groupBy("n", "k", "nf")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("p_i") - F.col("pbar"))
+                    * (F.col("p_i") - F.col("pbar")),
+                    12,
+                ).cast("decimal(18,12)")
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    n_d = F.col("n").cast("double")
+    rate = F.col("k").cast("double") / n_d
+    se = F.sqrt((F.col("nf") - F.lit(1.0)) / F.col("nf") * F.col("ss"))
+    return dev.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_keep"),
+        F.col("nf").alias("n_folds"),
+        F.round(rate * 1000000.0).cast("long").alias("keep_rate_u"),
+        F.round(se * 1000000.0).cast("long").alias("se_u"),
+        F.round((rate - 1.96 * se) * 1000000.0).cast("long").alias("ci_lo_u"),
+        F.round((rate + 1.96 * se) * 1000000.0).cast("long").alias("ci_hi_u"),
     )

@@ -146,3 +146,89 @@ def test_q138_confusion_consistency(spark):
     for col in ("tp", "fp"):
         vals = [r[col] for r in rows]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_q139_matches_pure_python(spark):
+    """Blocked candidate mining equals the brute-force O(N^2) reference
+    restricted to pairs sharing a rare 5-gram (pure Python)."""
+    from sparkextract.queries.round5d import (
+        _Q139_DF_HI,
+        _Q139_DF_LO,
+        _Q139_K,
+        q139_bitext_candidates,
+    )
+
+    docs = _docs(SF_DIR)
+    grams = {}
+    toksets = {}
+    langs = {}
+    for d, text, lang in docs:
+        toks = [x for x in text.split(" ") if x != ""]
+        toksets[d] = set(toks)
+        langs[d] = lang
+        gs = {
+            "|".join(toks[i : i + _Q139_K])
+            for i in range(len(toks) - _Q139_K + 1)
+        }
+        grams[d] = gs
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    rare = {g for g, c in df.items() if _Q139_DF_LO <= c <= _Q139_DF_HI}
+    expected = {}
+    for a in docs:
+        if langs[a[0]] != "en":
+            continue
+        for b in docs:
+            if langs[b[0]] == "en":
+                continue
+            shared = grams[a[0]] & grams[b[0]] & rare
+            if shared:
+                inter = len(toksets[a[0]] & toksets[b[0]])
+                uni = len(toksets[a[0]] | toksets[b[0]])
+                expected[(a[0], b[0])] = (
+                    len(shared),
+                    round(inter * 1e6 / uni),
+                )
+    rows = {
+        (r["left_id"], r["right_id"]): (r["n_shared_keys"], r["jaccard_u"])
+        for r in q139_bitext_candidates(spark, SF_DIR).collect()
+    }
+    assert rows == expected
+    assert len(rows) > 0  # the blocking keys produce candidates at test SF
+
+
+def test_q140_jackknife_invariants(spark):
+    from sparkextract.queries.round5d import _Q140_FOLDS, q140_jackknife_ci
+
+    row = q140_jackknife_ci(spark, SF_DIR).collect()[0]
+    assert row["n_folds"] == _Q140_FOLDS
+    assert 0 < row["n_keep"] < row["n_docs"]
+    assert row["ci_lo_u"] <= row["keep_rate_u"] <= row["ci_hi_u"]
+    assert row["se_u"] > 0
+    # the CI is symmetric around the rate up to rounding
+    mid2 = row["ci_lo_u"] + row["ci_hi_u"]
+    assert abs(mid2 - 2 * row["keep_rate_u"]) <= 2
+    # pure-python replicate check of the SE
+    import pyarrow.parquet as pq
+
+    docs = _docs(SF_DIR)
+    folds = {}
+    for d, text, _l in docs:
+        logit = _py_logit(text)
+        if logit is None:
+            continue
+        fold = _md5_bucket(str(d), _Q140_FOLDS)
+        n, k = folds.get(fold, (0, 0))
+        folds[fold] = (n + 1, k + (1 if logit >= 0 else 0))
+    N = sum(n for n, _ in folds.values())
+    K = sum(k for _, k in folds.values())
+    reps = [
+        round((K - k) / (N - n), 12) for n, k in folds.values()
+    ]
+    pbar = sum(reps) / len(reps)
+    ss = sum(round((p - pbar) ** 2, 12) for p in reps)
+    se = math.sqrt((len(reps) - 1) / len(reps) * ss)
+    assert row["n_docs"] == N and row["n_keep"] == K
+    assert abs(row["se_u"] - round(se * 1e6)) <= 1

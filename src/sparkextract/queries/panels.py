@@ -631,7 +631,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("released", "boolean"), ("was_mojibake", "boolean"),
          ("n_bad_seqs", "long"), ("repaired_md5", "string"),
          ("roundtrip_ok", "boolean"), ("n_green", "long"),
-         ("z_u", "long")],
+         ("z_u", "long"), ("detector", "string"), ("tp", "long"),
+         ("fp", "long"), ("fn", "long"), ("precision_u", "long"),
+         ("recall_u", "long")],
         [
             ("pipeline", "q94_corpus_clean_pipeline",
              {"doc_id": "doc_id", "n_tokens": "n_tokens",
@@ -657,6 +659,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"doc_id": "doc_id", "was_mojibake": "was_mojibake",
               "n_bad_seqs": "n_bad_seqs", "repaired_md5": "repaired_md5",
               "roundtrip_ok": "roundtrip_ok"}),
+            ("secret_scan", "q141_secret_scan_eval",
+             {"detector": "detector", "tp": "tp", "fp": "fp", "fn": "fn",
+              "precision_u": "precision_u", "recall_u": "recall_u"}),
         ],
     ),
     # corpus-layout family: sequence packing, leakage-safe split,
@@ -670,8 +675,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("global_pos", "long"), ("domain", "string"), ("n_docs", "long"),
          ("total_chars", "long"), ("mean_chars", "double"),
          ("mode", "string"), ("len_prefix", "long"), ("len_middle", "long"),
-         ("len_suffix", "long"), ("fim_md5", "string")],
+         ("len_suffix", "long"), ("fim_md5", "string"), ("lang", "string"),
+         ("slot", "long"), ("k", "long"), ("sched_key", "long")],
         [
+            ("stride_schedule", "q142_stride_schedule",
+             {"slot": "slot", "doc_id": "doc_id", "lang": "lang",
+              "k": "k", "sched_key": "sched_key"}),
             ("packing", "q100_sequence_packing",
              {"doc_id": "doc_id", "shard": "shard", "n_tokens": "n_tokens",
               "start_pos": "start_pos", "first_window": "first_window",

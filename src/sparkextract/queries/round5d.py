@@ -702,3 +702,263 @@ def q140_jackknife_ci(spark, sf_dir):
         F.round((rate - 1.96 * se) * 1000000.0).cast("long").alias("ci_lo_u"),
         F.round((rate + 1.96 * se) * 1000000.0).cast("long").alias("ci_hi_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# q141: CREDENTIAL/SECRET SCAN WITH DETECTOR EVALUATION — the
+# secret-filtering pass a code/web corpus runs before training
+# (Copilot-era pipelines strip API keys; the capability is detection +
+# redaction + a measured detector). Ground truth is INJECTED
+# deterministically (the q97/q68 injection pattern): doc_id % 11 == 0
+# receives a real 32-hex 'sk-' secret, doc_id % 9 == 0 receives an
+# 8-hex lookalike that a sloppy detector false-positives on. Two
+# detectors run over the same scan — 'strict' (exact 32-hex) and
+# 'sloppy' (any hex run) — and the output is each detector's confusion
+# counts + precision/recall against the injected truth: the
+# detector-eval loop, not just the redaction.
+# Patterns stay in the portable regex subset (classes, +, {m,n}) that
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically (q97).
+# Scale shape: map-only scan; per-doc detector rows explode 2x and
+# reduce map-side to 2 groups. No corpus-sized shuffle.
+
+_Q141_SECRET_RE = "sk-[0-9a-f]{32}"
+_Q141_SLOPPY_RE = "sk-[0-9a-f]+"
+
+_Q141_CORPUS = """
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 11 = 0
+                      THEN ' key sk-' || md5(CAST(doc_id AS VARCHAR))
+                      ELSE '' END
+              || CASE WHEN doc_id % 9 = 0
+                      THEN ' id sk-' || SUBSTRING(
+                             md5('x' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      ELSE '' END AS text,
+         (doc_id % 11 = 0) AS truth
+  FROM documents
+"""
+
+_Q141_ORACLE = f"""
+WITH corpus AS ({_Q141_CORPUS}),
+d AS (
+  SELECT truth,
+         regexp_matches(text, '{_Q141_SECRET_RE}') AS det_strict,
+         regexp_matches(text, '{_Q141_SLOPPY_RE}') AS det_sloppy
+  FROM corpus
+),
+u AS (
+  SELECT 'strict' AS detector, truth, det_strict AS det FROM d
+  UNION ALL
+  SELECT 'sloppy' AS detector, truth, det_sloppy AS det FROM d
+),
+cm AS (
+  SELECT detector,
+         CAST(SUM(CASE WHEN det AND truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(SUM(CASE WHEN det AND NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(SUM(CASE WHEN truth AND NOT det THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn
+  FROM u GROUP BY detector
+)
+SELECT detector, tp, fp, fn,
+       {_q138_ratio_sql('tp', 'tp + fp')} AS precision_u,
+       {_q138_ratio_sql('tp', 'tp + fn')} AS recall_u
+FROM cm
+"""
+
+
+@register("q141_secret_scan_eval", oracle=_Q141_ORACLE)
+def q141_secret_scan_eval(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" key sk-"), F.md5(F.col("doc_id").cast("string"))
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.lit(" id sk-"),
+                F.substring(
+                    F.md5(F.concat(F.lit("x"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    truth = F.col("doc_id") % 11 == 0
+    d = docs.select(
+        truth.alias("truth"),
+        (F.regexp_count(text, F.lit(_Q141_SECRET_RE)) > 0).alias("det_strict"),
+        (F.regexp_count(text, F.lit(_Q141_SLOPPY_RE)) > 0).alias("det_sloppy"),
+    )
+    u = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("strict").alias("detector"),
+                    F.col("det_strict").alias("det"),
+                ),
+                F.struct(
+                    F.lit("sloppy").alias("detector"),
+                    F.col("det_sloppy").alias("det"),
+                ),
+            )
+        ).alias("e"),
+        "truth",
+    ).select(F.col("e.detector").alias("detector"), F.col("e.det").alias("det"), "truth")
+    cm = u.groupBy("detector").agg(
+        F.sum(F.when(F.col("det") & F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("det") & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("truth") & ~F.col("det"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+
+    def _ratio(num, den):
+        return F.when(den == 0, F.lit(-1).cast("long")).otherwise(
+            F.round(num.cast("double") * F.lit(1000000.0) / den).cast("long")
+        )
+
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cm.select(
+        "detector",
+        "tp",
+        "fp",
+        "fn",
+        _ratio(tp, tp + fp).alias("precision_u"),
+        _ratio(tp, tp + fn).alias("recall_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q142: STRIDE-SCHEDULED MIXTURE INTERLEAVE — executing mixture weights
+# (q90 computes them; this MATERIALIZES the epoch order). Classic
+# stride scheduling (Waldspurger & Weihl, OSDI 1994; the same
+# deterministic weighted interleave MosaicML StreamingDataset uses):
+# each language gets an integer stride inversely proportional to its
+# char share; the k-th doc of language s is scheduled at key
+# (2k+1)*stride_s, and ascending key order interleaves languages in
+# weight proportion, deterministically.
+#
+# The per-language ordinal k is computed WITHOUT a per-language global
+# window (5 hot keys at corpus scale = 5 single-task sorts): the q105
+# two-level rank — rank within (lang, md5-shard), then offsets from
+# the tiny (lang x 64-shard) size table — and the ORACLE proves it
+# equals the true per-language ROW_NUMBER. Output is the first 100
+# schedule slots (TakeOrderedAndProject; the full schedule would be
+# the job's output artifact, not a query result). The slot number is
+# a window over the selected 100 rows (tiny grain).
+# Stride arithmetic is exact integers; GREATEST(...,1) guards the
+# stride against rounding to zero when a language's char mass exceeds
+# the scale constant.
+
+_Q142_SHARDS = 64
+_Q142_SPAN = (1 << 32) // _Q142_SHARDS
+_Q142_SCALE = 1_000_000_000_000  # must exceed per-language char mass
+_Q142_TOPN = 100
+
+
+def _q142_h_sql(col: str) -> str:
+    return (
+        f"CAST(('0x' || SUBSTRING(md5(CAST({col} AS VARCHAR)), 1, 8))"
+        f" AS UBIGINT)"
+    )
+
+
+_Q142_ORACLE = f"""
+WITH w AS (
+  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS wc
+  FROM documents GROUP BY lang
+),
+r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_q142_h_sql("doc_id")}, doc_id) - 1 AS BIGINT) AS k
+  FROM documents
+),
+keyed AS (
+  SELECT r.doc_id, r.lang, r.k,
+         (2 * r.k + 1)
+           * GREATEST(CAST(ROUND({_Q142_SCALE}.0 / w.wc) AS BIGINT), 1)
+           AS sched_key
+  FROM r JOIN w USING (lang)
+),
+top AS (
+  SELECT * FROM keyed ORDER BY sched_key, lang, k LIMIT {_Q142_TOPN}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sched_key, lang, k) AS BIGINT)
+         AS slot,
+       doc_id, lang, k, sched_key
+FROM top
+"""
+
+
+@register("q142_stride_schedule", oracle=_Q142_ORACLE)
+def q142_stride_schedule(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        hk.alias("hk"),
+        F.floor(hk / _Q142_SPAN).cast("int").alias("shard"),
+    )
+    wr = Window.partitionBy("lang", "shard").orderBy("hk", "doc_id")
+    ranked = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q142_ranked",
+        lambda: h.withColumn("rk", F.row_number().over(wr).cast("long")),
+    )
+    sizes = ranked.groupBy("lang", "shard").agg(F.max("rk").alias("cnt"))
+    # lang x shard grain (<= 5*64 rows): tiny cumulative for the offsets
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "lang",
+        "shard",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("offset"),
+    )
+    k = (F.col("offset") + F.col("rk") - 1).cast("long")
+    weights = ranked.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("wc")
+    )
+    stride = F.greatest(
+        F.round(F.lit(float(_Q142_SCALE)) / F.col("wc")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    keyed = (
+        ranked.join(F.broadcast(offsets), ["lang", "shard"])
+        .join(F.broadcast(weights), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            k.alias("k"),
+            ((2 * k + 1) * stride).alias("sched_key"),
+        )
+    )
+    top = keyed.orderBy("sched_key", "lang", "k").limit(_Q142_TOPN)
+    ws = Window.orderBy("sched_key", "lang", "k")  # 100 rows: tiny grain
+    return top.select(
+        F.row_number().over(ws).cast("long").alias("slot"),
+        "doc_id",
+        "lang",
+        "k",
+        "sched_key",
+    )

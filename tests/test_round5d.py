@@ -232,3 +232,89 @@ def test_q140_jackknife_invariants(spark):
     se = math.sqrt((len(reps) - 1) / len(reps) * ss)
     assert row["n_docs"] == N and row["n_keep"] == K
     assert abs(row["se_u"] - round(se * 1e6)) <= 1
+
+
+def test_q141_matches_pure_python(spark):
+    import re
+
+    from sparkextract.queries.round5d import (
+        _Q141_SECRET_RE,
+        _Q141_SLOPPY_RE,
+        q141_secret_scan_eval,
+    )
+
+    cm = {"strict": [0, 0, 0], "sloppy": [0, 0, 0]}
+    for d, text, _l in _docs(SF_DIR):
+        t = text
+        if d % 11 == 0:
+            t += " key sk-" + hashlib.md5(str(d).encode()).hexdigest()
+        if d % 9 == 0:
+            t += " id sk-" + hashlib.md5(f"x{d}".encode()).hexdigest()[:8]
+        truth = d % 11 == 0
+        for name, rx in (("strict", _Q141_SECRET_RE), ("sloppy", _Q141_SLOPPY_RE)):
+            det = re.search(rx, t) is not None
+            if det and truth:
+                cm[name][0] += 1
+            elif det:
+                cm[name][1] += 1
+            elif truth:
+                cm[name][2] += 1
+    rows = {r["detector"]: r for r in q141_secret_scan_eval(spark, SF_DIR).collect()}
+    for name, (tp, fp, fn) in cm.items():
+        r = rows[name]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn), name
+    # the strict detector is perfect on injected truth; sloppy pays fp
+    assert rows["strict"]["fp"] == 0 and rows["strict"]["fn"] == 0
+    assert rows["sloppy"]["fp"] > 0
+    assert rows["sloppy"]["recall_u"] == 1_000_000
+
+
+def test_q142_matches_pure_python(spark):
+    """Two-level per-language rank + stride keys equal the brute-force
+    schedule computed in pure Python."""
+    from sparkextract.queries.round5d import (
+        _Q142_SCALE,
+        _Q142_TOPN,
+        q142_stride_schedule,
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    recs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("lang").to_pylist(),
+            t.column("n_chars").to_pylist(),
+        )
+    )
+    wc = {}
+    for _d, lang, n in recs:
+        wc[lang] = wc.get(lang, 0) + n
+    stride = {
+        lang: max(round(_Q142_SCALE / w), 1) for lang, w in wc.items()
+    }
+
+    def hk(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+
+    keyed = []
+    for lang in wc:
+        members = sorted(
+            (d for d, l, _n in recs if l == lang), key=lambda d: (hk(d), d)
+        )
+        for k, d in enumerate(members):
+            keyed.append(((2 * k + 1) * stride[lang], lang, k, d))
+    keyed.sort()
+    expected = [
+        (slot + 1, d, lang, k, key)
+        for slot, (key, lang, k, d) in enumerate(keyed[:_Q142_TOPN])
+    ]
+    rows = [
+        (r["slot"], r["doc_id"], r["lang"], r["k"], r["sched_key"])
+        for r in q142_stride_schedule(spark, SF_DIR)
+        .orderBy("slot")
+        .collect()
+    ]
+    assert rows == expected
+    # the interleave mixes languages within the head of the schedule
+    assert len({lang for _s, _d, lang, _k, _key in rows}) > 1

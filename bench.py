@@ -90,6 +90,10 @@ HEADLINE = [
     "q126_pca_power_step",
     "q130_token_entropy",
     "q132_encoding_repair",
+    "q135_quality_classifier",
+    "q136_watermark_detect",
+    "q139_bitext_candidates",
+    "q141_secret_scan_eval",
 ]
 
 

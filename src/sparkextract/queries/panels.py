@@ -83,8 +83,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     "panel_dup_clusters": (
         [("vec_id", "long"), ("component", "long"), ("cluster_size", "long"),
          ("survivor_id", "long"), ("is_survivor", "boolean"),
-         ("group_key", "string")],
+         ("group_key", "string"), ("n_triangles", "long"),
+         ("n_nodes", "long"), ("n_edges", "long"),
+         ("total_triangles", "long"), ("gcc_u", "long")],
         [
+            ("triangles", "q143_triangle_count",
+             {"vec_id": "node", "n_triangles": "n_triangles",
+              "n_nodes": "n_nodes", "n_edges": "n_edges",
+              "total_triangles": "total_triangles", "gcc_u": "gcc_u"}),
             ("components", "q71_dup_components",
              {"vec_id": "vec_id", "component": "component",
               "cluster_size": "cluster_size"}),

@@ -962,3 +962,201 @@ def q142_stride_schedule(spark, sf_dir):
         "k",
         "sched_key",
     )
+
+
+# --------------------------------------------------------------------------
+# q143: TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT over the q119
+# citation graph — the second classic distributed-graph diagnostic a
+# crawl-corpus pipeline runs next to PageRank (community density /
+# spam-farm detection). The naive adjacency self-join has the
+# "curse of the last reducer" (Suri & Vassilvitskii, WWW 2011): a hub
+# of degree d generates d^2 wedge candidates on one key. The standard
+# fix, implemented here, is DEGREE ORIENTATION: each undirected edge
+# points from its lower-(degree, id) endpoint to the higher one, so
+# every node's OUT-degree is O(sqrt(m)) on any graph and the wedge
+# self-join is per-key bounded; each triangle is then counted exactly
+# once (at its lowest-ordered vertex) by one keyed join against the
+# canonical edge set. All counting is BIGINT; gcc = 3T / #wedges is
+# one IEEE division of exact integers snapped to micro-units.
+# Scale shape: edges are generated map-side (3 per doc, the q119
+# scheme); the undirected edge set and the oriented adjacency are
+# materialized once via checkpoint_memo (each feeds two subtrees);
+# every join is keyed (node or canonical edge), nothing broadcasts a
+# corpus-sized side, no window anywhere.
+
+_Q143_FANOUT = 3
+_Q143_TOPK = 10
+
+
+def _q143_oracle() -> str:
+    from sparkextract.queries.round5b import _cite_bucket_sql
+
+    edges_sel = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {_cite_bucket_sql(j)} AS dst"
+        f" FROM documents, n"
+        for j in range(_Q143_FANOUT)
+    )
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+edges0 AS ({edges_sel}),
+eu AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM edges0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT lo AS node FROM eu UNION ALL SELECT hi FROM eu)
+  GROUP BY 1
+),
+ori AS (
+  SELECT CASE WHEN (dl.d, e.lo) < (dh.d, e.hi) THEN e.lo ELSE e.hi END AS u,
+         CASE WHEN (dl.d, e.lo) < (dh.d, e.hi) THEN e.hi ELSE e.lo END AS v
+  FROM eu e
+  JOIN deg dl ON dl.node = e.lo
+  JOIN deg dh ON dh.node = e.hi
+),
+wedge AS (
+  SELECT a.u AS w, a.v AS x, b.v AS y
+  FROM ori a JOIN ori b ON a.u = b.u AND a.v < b.v
+),
+tri AS (
+  SELECT w.w AS a, w.x AS b, w.y AS c
+  FROM wedge w
+  JOIN eu ON eu.lo = LEAST(w.x, w.y) AND eu.hi = GREATEST(w.x, w.y)
+),
+pernode AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+),
+globals AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM eu) AS n_edges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS total_triangles,
+         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+           AS n_wedges
+)
+SELECT p.node, p.n_triangles, g.n_nodes, g.n_edges, g.total_triangles,
+       CAST(ROUND(CAST(3 * g.total_triangles AS DOUBLE) * 1000000.0
+                  / g.n_wedges) AS BIGINT) AS gcc_u
+FROM pernode p CROSS JOIN globals g
+ORDER BY p.n_triangles DESC, p.node ASC
+LIMIT {_Q143_TOPK}
+"""
+
+
+@register("q143_triangle_count", oracle=_q143_oracle())
+def q143_triangle_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+
+    def _cite(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f"#{j}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_docs
+        )
+
+    def _build_eu():
+        parts = [
+            docs.select(
+                F.col("doc_id").alias("src"), _cite(j).alias("dst")
+            )
+            for j in range(_Q143_FANOUT)
+        ]
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        e = e.filter(F.col("src") != F.col("dst"))
+        return e.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        ).distinct()
+
+    # eu feeds three subtrees (degree table, orientation, closing join)
+    eu = checkpoint_memo(spark, sf_dir, "q143_eu", _build_eu)
+
+    def _build_ori():
+        deg = (
+            eu.select(F.col("lo").alias("node"))
+            .unionByName(eu.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        dl = deg.select(F.col("node").alias("lo"), F.col("d").alias("d_lo"))
+        dh = deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi"))
+        j = eu.join(dl, "lo").join(dh, "hi")
+        lo_first = (F.col("d_lo") < F.col("d_hi")) | (
+            (F.col("d_lo") == F.col("d_hi")) & (F.col("lo") < F.col("hi"))
+        )
+        return j.select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+
+    # the oriented adjacency self-joins with itself — materialize once
+    ori = checkpoint_memo(spark, sf_dir, "q143_ori", _build_ori)
+    a = ori.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    b = ori.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    wedge = a.join(b, "w").filter(F.col("x") < F.col("y"))
+    tri = wedge.join(
+        eu,
+        (eu["lo"] == F.least("x", "y")) & (eu["hi"] == F.greatest("x", "y")),
+    ).select("w", "x", "y")
+    tri = checkpoint_memo(spark, sf_dir, "q143_tri", lambda: tri)
+    pernode = (
+        tri.select(F.col("w").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg_und = (
+        eu.select(F.col("lo").alias("node"))
+        .unionByName(eu.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    globals_df = (
+        deg_und.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(
+                (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+            ).alias("n_wedges"),
+        )
+        .crossJoin(eu.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(
+            tri.agg(F.count("*").cast("long").alias("total_triangles"))
+        )
+    )
+    gcc = F.round(
+        (3 * F.col("total_triangles")).cast("double")
+        * F.lit(1000000.0)
+        / F.col("n_wedges")
+    ).cast("long")
+    return (
+        pernode.crossJoin(F.broadcast(globals_df))
+        .select(
+            "node",
+            "n_triangles",
+            "n_nodes",
+            "n_edges",
+            "total_triangles",
+            gcc.alias("gcc_u"),
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(_Q143_TOPK)
+    )

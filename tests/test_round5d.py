@@ -318,3 +318,49 @@ def test_q142_matches_pure_python(spark):
     assert rows == expected
     # the interleave mixes languages within the head of the schedule
     assert len({lang for _s, _d, lang, _k, _key in rows}) > 1
+
+
+def test_q143_matches_pure_python(spark):
+    """Degree-oriented triangle counting equals the brute-force
+    enumeration over the same md5 citation graph."""
+    from itertools import combinations
+
+    from sparkextract.queries.round5d import (
+        _Q143_FANOUT,
+        q143_triangle_count,
+    )
+
+    doc_ids = [d for d, _t, _l in _docs(SF_DIR)]
+    n = len(doc_ids)
+    adj = {}
+    for d in doc_ids:
+        for j in range(_Q143_FANOUT):
+            dst = (
+                int(hashlib.md5(f"{d}#{j}".encode()).hexdigest()[:8], 16) % n
+            )
+            if dst != d:
+                adj.setdefault(d, set()).add(dst)
+                adj.setdefault(dst, set()).add(d)
+    nodes = sorted(adj)
+    tri_per_node = {v: 0 for v in nodes}
+    total = 0
+    for v in nodes:
+        for a, b in combinations(sorted(adj[v]), 2):
+            if v < a and b in adj.get(a, set()):
+                total += 1
+                for x in (v, a, b):
+                    tri_per_node[x] += 1
+    n_edges = sum(len(s) for s in adj.values()) // 2
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    gcc_u = round(3 * total * 1e6 / wedges)
+    expected = sorted(
+        ((v, c) for v, c in tri_per_node.items() if c > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    rows = q143_triangle_count(spark, SF_DIR).collect()
+    assert [(r["node"], r["n_triangles"]) for r in rows] == expected
+    for r in rows:
+        assert r["n_nodes"] == len(nodes)
+        assert r["n_edges"] == n_edges
+        assert r["total_triangles"] == total
+        assert r["gcc_u"] == gcc_u

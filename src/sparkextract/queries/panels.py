@@ -167,12 +167,19 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     "panel_signatures": (
         [("doc_id", "long"), ("simhash", "long"),
          ("sig0", "string"), ("sig1", "string"),
-         ("sig2", "string"), ("sig3", "string")],
+         ("sig2", "string"), ("sig3", "string"),
+         ("n_exact", "long"), ("n_minhash", "long"), ("n_prefix", "long"),
+         ("n_em", "long"), ("n_ep", "long"), ("n_mp", "long"),
+         ("n_emp", "long")],
         [
             ("simhash64", "q32_simhash", {"doc_id": "doc_id", "simhash": "simhash"}),
             ("minhash", "q19_minhash_signature",
              {"doc_id": "doc_id", "sig0": "sig0", "sig1": "sig1",
               "sig2": "sig2", "sig3": "sig3"}),
+            ("venn_audit", "q144_dedup_venn_audit",
+             {"n_exact": "n_exact", "n_minhash": "n_minhash",
+              "n_prefix": "n_prefix", "n_em": "n_em", "n_ep": "n_ep",
+              "n_mp": "n_mp", "n_emp": "n_emp"}),
         ],
     ),
     # malformed-input semantics through real extraction.

@@ -1160,3 +1160,158 @@ def q143_triangle_count(spark, sf_dir):
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(_Q143_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# q144: DEDUP-METHOD VENN AUDIT — the meta-analysis a corpus team runs
+# before picking its dedup stack: how much do the cheap and expensive
+# methods AGREE? Ground truth is injected (the q11/q97 pattern): exact
+# clones (doc_id % 13 -> +1M) and tail-perturbed near-clones
+# (doc_id % 7 -> +2M, one token appended). Three detectors of
+# increasing looseness flag "document participates in a duplicate
+# group":
+#   exact    — md5(text) group with > 1 member (catches exact clones
+#              only; the near-clones differ in the last token),
+#   minhash1 — single-hash MinHash over bigram shingles (min md5 of
+#              the doc's bigrams; near-clones almost always share the
+#              min bigram — and unrelated docs occasionally collide:
+#              the honest false-positive behavior of a 1-hash sketch),
+#   prefix   — first-8-token block key (catches both clone kinds,
+#              because the perturbation appends at the tail; the
+#              standard cheap blocking heuristic).
+# Output: one row of Venn counts — per-method totals, the three
+# pairwise intersections, and the triple — the numbers the audit
+# report actually shows.
+# Scale shape: three groupBys over method keys (map-side combinable)
+# + doc_id-keyed semi-joins for the intersections; the flagged sets
+# are corpus-fraction sized; nothing is all-pairs.
+
+_Q144_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_Q144_PREFIX_K = 8
+
+_Q144_ORACLE = f"""
+WITH corpus AS ({_Q144_CORPUS}),
+t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM corpus
+),
+feat AS (
+  SELECT doc_id,
+         md5(text) AS ek,
+         CASE WHEN len(l) >= 2 THEN
+           list_min(list_transform(range(2, len(l) + 1),
+                                   i -> md5(l[i - 1] || '|' || l[i])))
+         ELSE md5(text) END AS mk,
+         md5(array_to_string(l[1:{_Q144_PREFIX_K}], ' ')) AS pk
+  FROM t
+),
+fe AS (SELECT doc_id FROM feat
+       WHERE ek IN (SELECT ek FROM feat GROUP BY ek HAVING COUNT(*) > 1)),
+fm AS (SELECT doc_id FROM feat
+       WHERE mk IN (SELECT mk FROM feat GROUP BY mk HAVING COUNT(*) > 1)),
+fp AS (SELECT doc_id FROM feat
+       WHERE pk IN (SELECT pk FROM feat GROUP BY pk HAVING COUNT(*) > 1))
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fe) AS n_exact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fm) AS n_minhash,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_prefix,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fe WHERE doc_id IN
+     (SELECT doc_id FROM fm)) AS n_em,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fe WHERE doc_id IN
+     (SELECT doc_id FROM fp)) AS n_ep,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fm WHERE doc_id IN
+     (SELECT doc_id FROM fp)) AS n_mp,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM fe WHERE doc_id IN
+     (SELECT doc_id FROM fm) AND doc_id IN
+     (SELECT doc_id FROM fp)) AS n_emp
+"""
+
+
+@register("q144_dedup_venn_audit", oracle=_Q144_ORACLE)
+def q144_dedup_venn_audit(spark, sf_dir):
+    def _build_feat():
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        clones = docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        near = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+        corpus = docs.unionByName(clones).unionByName(near)
+        l = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        c = corpus.select("doc_id", "text", l.alias("l"))
+        lcol = F.col("l")
+        bigram_mins = F.array_min(
+            F.transform(
+                F.sequence(F.lit(2), F.size(lcol)),
+                lambda i: F.md5(
+                    F.concat(
+                        F.element_at(lcol, i - F.lit(1)),
+                        F.lit("|"),
+                        F.element_at(lcol, i),
+                    )
+                ),
+            )
+        )
+        mk = F.when(F.size(lcol) >= 2, bigram_mins).otherwise(F.md5("text"))
+        pk = F.md5(
+            F.array_join(F.slice(lcol, 1, _Q144_PREFIX_K), " ")
+        )
+        return c.select(
+            "doc_id",
+            F.md5("text").alias("ek"),
+            mk.alias("mk"),
+            pk.alias("pk"),
+        )
+
+    # the feature table feeds six subtrees (3 dup-key filters + the
+    # intersection joins) — materialize once per (session, input)
+    feat = checkpoint_memo(spark, sf_dir, "q144_feat", _build_feat)
+
+    def _flagged(key):
+        dupkeys = (
+            feat.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(key)
+        )
+        return feat.join(dupkeys, key).select("doc_id")
+
+    fe = checkpoint_memo(
+        spark, sf_dir, "q144_fe", lambda: _flagged("ek")
+    )
+    fm = checkpoint_memo(
+        spark, sf_dir, "q144_fm", lambda: _flagged("mk")
+    )
+    fp = checkpoint_memo(
+        spark, sf_dir, "q144_fp", lambda: _flagged("pk")
+    )
+
+    def _n(df):
+        return df.agg(F.count("*").cast("long"))
+
+    def _n2(a, b):
+        return a.join(b, "doc_id", "semi").agg(F.count("*").cast("long"))
+
+    em = fe.join(fm, "doc_id", "semi")
+    out = (
+        _n(fe).toDF("n_exact")
+        .crossJoin(_n(fm).toDF("n_minhash"))
+        .crossJoin(_n(fp).toDF("n_prefix"))
+        .crossJoin(_n2(fe, fm).toDF("n_em"))
+        .crossJoin(_n2(fe, fp).toDF("n_ep"))
+        .crossJoin(_n2(fm, fp).toDF("n_mp"))
+        .crossJoin(_n2(em, fp).toDF("n_emp"))
+    )
+    return out

@@ -364,3 +364,51 @@ def test_q143_matches_pure_python(spark):
         assert r["n_edges"] == n_edges
         assert r["total_triangles"] == total
         assert r["gcc_u"] == gcc_u
+
+
+def test_q144_matches_pure_python(spark):
+    from sparkextract.queries.round5d import (
+        _Q144_PREFIX_K,
+        q144_dedup_venn_audit,
+    )
+
+    corpus = []
+    for d, text, _l in _docs(SF_DIR):
+        corpus.append((d, text))
+        if d % 13 == 0:
+            corpus.append((d + 1000000, text))
+        if d % 7 == 0:
+            corpus.append((d + 2000000, text + " extra"))
+    feat = {}
+    for d, text in corpus:
+        toks = [x for x in text.split(" ") if x != ""]
+        ek = hashlib.md5(text.encode()).hexdigest()
+        if len(toks) >= 2:
+            mk = min(
+                hashlib.md5(f"{a}|{b}".encode()).hexdigest()
+                for a, b in zip(toks, toks[1:])
+            )
+        else:
+            mk = ek
+        pk = hashlib.md5(" ".join(toks[:_Q144_PREFIX_K]).encode()).hexdigest()
+        feat[d] = (ek, mk, pk)
+
+    def flagged(i):
+        cnt = {}
+        for v in feat.values():
+            cnt[v[i]] = cnt.get(v[i], 0) + 1
+        return {d for d, v in feat.items() if cnt[v[i]] > 1}
+
+    fe, fm, fp = flagged(0), flagged(1), flagged(2)
+    row = q144_dedup_venn_audit(spark, SF_DIR).collect()[0]
+    assert row["n_exact"] == len(fe)
+    assert row["n_minhash"] == len(fm)
+    assert row["n_prefix"] == len(fp)
+    assert row["n_em"] == len(fe & fm)
+    assert row["n_ep"] == len(fe & fp)
+    assert row["n_mp"] == len(fm & fp)
+    assert row["n_emp"] == len(fe & fm & fp)
+    # injected structure: exact clones exist and are (near-)contained
+    # in the looser methods; the near-clones push prefix above exact
+    assert row["n_exact"] > 0
+    assert row["n_prefix"] > row["n_exact"]

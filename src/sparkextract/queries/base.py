@@ -78,7 +78,7 @@ def input_token(sf_dir: str) -> str:
 # a returned frame must be fully consumed before ~CAP later memo
 # inserts — at CAP=64 that is never hit by the query surface).
 _CKPT_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
-_CKPT_MEMO_CAP = 64
+_CKPT_MEMO_CAP = 256  # ~26 tags/sf_dir (round-5 end): covers many sf_dirs
 
 
 def checkpoint_memo(spark: SparkSession, sf_dir: str, tag: str, build):

@@ -468,13 +468,18 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # keyed event dedup: priority keeper rows; distinct-key seen-set.
     "panel_event_dedup": (
         [("user_id", "long"), ("event_type", "string"),
-         ("event_id", "long"), ("value", "double")],
+         ("event_id", "long"), ("value", "double"),
+         ("content_hash", "string"), ("doc_id", "string"),
+         ("first_len", "int")],
         [
             ("priority_keeper", "q12_dedup_priority",
              {"user_id": "user_id", "event_type": "event_type",
               "event_id": "event_id", "value": "value"}),
             ("distinct_keys", "q48_distinct_keys",
              {"user_id": "user_id", "event_type": "event_type"}),
+            ("streaming_stateful", "q145_streaming_stateful_dedup",
+             {"content_hash": "content_hash", "doc_id": "doc_id",
+              "first_len": "first_len"}),
         ],
     ),
     # round-3 reference-parity singles: form-field keyword grouping (F6),
@@ -835,6 +840,9 @@ PANELED: frozenset[str] = frozenset(
 # round-5 consolidation panels and the three panels that absorbed
 # q102/q108/q109) must run first
 _FRONT = [
+    "panel_event_dedup",
+    "panel_signatures",
+    "panel_dup_pairs",
     "panel_decontamination",
     "panel_corpus_clean",
     "panel_corpus_layout",

@@ -111,6 +111,8 @@ IEEE division.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1315,3 +1317,81 @@ def q144_dedup_venn_audit(spark, sf_dir):
         .crossJoin(_n2(em, fp).toDF("n_emp"))
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# q145: STATEFUL STREAMING DEDUP, DRIVER-CHECKED — the last streaming
+# shape (applyInPandasWithState first-writer-wins dedup,
+# streaming/stateful.py) promoted from pytest-only to a driver
+# CORRECTNESS row, the q108 harness pattern: drain 1 delivers the base
+# corpus (every content hash's first arrival -> emitted, numeric-min
+# keeper within the batch); drain 2 delivers exact clones
+# (doc_id % 5 -> +1M, same text) whose hashes are already in state ->
+# suppressed, nothing re-emitted. The committed sink after both drains
+# is therefore exactly "one row per content hash, keeper = numeric-min
+# doc_id over base UNION clones" (clone ids exceed base ids), which is
+# the SQL-expressible oracle. The checkpoint, not a manifest, carries
+# the dedup state across drains — restart durability is what the
+# pytest covers; this query pins the emitted VALUES.
+# Scale shape: the only shuffle is the content-hash groupBy (the same
+# key layout as batch q11); state is one tiny row per distinct hash,
+# sharded by that key exactly as a 1000-executor cluster would.
+_Q145_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS VARCHAR) AS doc_id,
+       CAST(MIN(LENGTH(text)) AS INT) AS first_len
+FROM corpus
+GROUP BY md5(text)
+"""
+
+_Q145_DONE: set[tuple[str, str]] = set()
+
+
+@register("q145_streaming_stateful_dedup", oracle=_Q145_ORACLE)
+def q145_streaming_stateful_dedup(spark, sf_dir):
+    import shutil
+
+    from sparkextract.queries.round5 import _stream_root
+    from sparkextract.spark.session import ensure_workers_can_import
+    from sparkextract.streaming.stateful import streaming_dedup
+
+    root = _stream_root(spark, sf_dir, "q145")
+    inp = os.path.join(root, "in")
+    outp = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def _drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            inp
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _Q145_DONE:
+        ensure_workers_can_import(spark)
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.write.parquet(inp)
+        _drain()
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        ).write.mode("append").parquet(inp)
+        _drain()
+        _Q145_DONE.add(memo_key)
+    return spark.read.parquet(outp).select(
+        "content_hash", "doc_id", "first_len"
+    )

@@ -412,3 +412,21 @@ def test_q144_matches_pure_python(spark):
     # in the looser methods; the near-clones push prefix above exact
     assert row["n_exact"] > 0
     assert row["n_prefix"] > row["n_exact"]
+
+
+def test_q145_matches_pure_python(spark):
+    """Committed streaming-dedup sink equals first-writer-wins over the
+    base-then-clones arrival order (pure Python)."""
+    from sparkextract.queries.round5d import q145_streaming_stateful_dedup
+
+    expected = {}
+    for d, text, _l in _docs(SF_DIR):
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h not in expected or d < expected[h][0]:
+            expected[h] = (d, len(text))
+    # clones (doc_id % 5 -> +1M, same text) arrive in drain 2: suppressed
+    rows = {
+        r["content_hash"]: (int(r["doc_id"]), r["first_len"])
+        for r in q145_streaming_stateful_dedup(spark, SF_DIR).collect()
+    }
+    assert rows == expected

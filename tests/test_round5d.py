@@ -430,3 +430,44 @@ def test_q145_matches_pure_python(spark):
         for r in q145_streaming_stateful_dedup(spark, SF_DIR).collect()
     }
     assert rows == expected
+
+
+def test_q139_df_cap_excludes_hot_shingle(spark, tmp_path):
+    """A boilerplate 5-gram present in half the corpus must be excluded
+    by the df cap: candidates stay bounded by the rare keys only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkextract.queries.round5d import (
+        _Q139_DF_HI,
+        q139_bitext_candidates,
+    )
+
+    n = 120
+    hot = "one two three four five"  # shared 5-gram in half the docs
+    rows = []
+    for d in range(n):
+        lang = "en" if d % 2 == 0 else "fr"
+        body = f"tok{d}a tok{d}b tok{d}c tok{d}d tok{d}e tok{d}f"
+        text = (hot + " " + body) if d % 2 == 0 or d % 3 == 0 else body
+        rows.append((d, text, lang, "src0", len(text)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    sf = str(tmp_path / "hotshingle")
+    os.makedirs(sf)
+    pq.write_table(t, os.path.join(sf, "documents.parquet"))
+    got = q139_bitext_candidates(spark, sf).collect()
+    # the hot shingle's df (>> cap) excludes it as a blocking key; the
+    # per-doc body shingles are unique (df=1, below the lo bound), so no
+    # candidate survives at all — without the cap the hot key alone
+    # would generate ~n^2/4 en-x-fr pairs
+    hot_df = sum(1 for d in range(n) if d % 2 == 0 or d % 3 == 0)
+    assert hot_df > _Q139_DF_HI
+    assert got == []

@@ -59,8 +59,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     # no score).
     "panel_dup_pairs": (
         [("left_id", "long"), ("right_id", "long"), ("score", "double"),
-         ("n_shared_keys", "long"), ("jaccard_u", "long")],
+         ("n_shared_keys", "long"), ("jaccard_u", "long"),
+         ("edit_dist", "long"), ("sim_u", "long")],
         [
+            ("edit_distance", "q146_edit_distance_near_dup",
+             {"left_id": "left_id", "right_id": "right_id",
+              "edit_dist": "edit_dist", "sim_u": "sim_u"}),
             ("bitext_blocked", "q139_bitext_candidates",
              {"left_id": "left_id", "right_id": "right_id",
               "n_shared_keys": "n_shared_keys", "jaccard_u": "jaccard_u"}),
@@ -85,8 +89,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("survivor_id", "long"), ("is_survivor", "boolean"),
          ("group_key", "string"), ("n_triangles", "long"),
          ("n_nodes", "long"), ("n_edges", "long"),
-         ("total_triangles", "long"), ("gcc_u", "long")],
+         ("total_triangles", "long"), ("gcc_u", "long"),
+         ("n_raw_forms", "long")],
         [
+            ("url_canonical", "q149_url_canonicalize",
+             {"group_key": "canonical_url", "cluster_size": "n_docs",
+              "survivor_id": "first_doc", "n_raw_forms": "n_raw_forms"}),
             ("triangles", "q143_triangle_count",
              {"vec_id": "node", "n_triangles": "n_triangles",
               "n_nodes": "n_nodes", "n_edges": "n_edges",
@@ -122,8 +130,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_pos", "long"), ("n_neg", "long"), ("n_bins", "long"),
          ("auc_u", "long"), ("threshold_u", "long"), ("tp", "long"),
          ("fp", "long"), ("fn", "long"), ("precision_u", "long"),
-         ("recall_u", "long"), ("f1_u", "long")],
+         ("recall_u", "long"), ("f1_u", "long"),
+         ("keep_rate_u", "long"), ("gini_u", "long"), ("range_u", "long")],
         [
+            ("filter_disparity", "q148_filter_disparity",
+             {"source": "source", "n_docs": "n_docs", "n_good": "n_keep",
+              "keep_rate_u": "keep_rate_u", "gini_u": "gini_u",
+              "range_u": "range_u"}),
             ("weighted_score", "q25_quality_score",
              {"source": "source", "avg_quality": "avg_quality",
               "n_good": "n_good"}),
@@ -651,8 +664,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("roundtrip_ok", "boolean"), ("n_green", "long"),
          ("z_u", "long"), ("detector", "string"), ("tp", "long"),
          ("fp", "long"), ("fn", "long"), ("precision_u", "long"),
-         ("recall_u", "long")],
+         ("recall_u", "long"), ("n_spans", "long"), ("n_islands", "long"),
+         ("covered_tokens", "long"), ("max_island_len", "long")],
         [
+            ("span_merge", "q147_span_interval_merge",
+             {"doc_id": "doc_id", "n_spans": "n_spans",
+              "n_islands": "n_islands", "covered_tokens": "covered_tokens",
+              "max_island_len": "max_island_len"}),
             ("pipeline", "q94_corpus_clean_pipeline",
              {"doc_id": "doc_id", "n_tokens": "n_tokens",
               "stage": "stage", "survivor_id": "survivor_id"}),

@@ -90,8 +90,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("group_key", "string"), ("n_triangles", "long"),
          ("n_nodes", "long"), ("n_edges", "long"),
          ("total_triangles", "long"), ("gcc_u", "long"),
-         ("n_raw_forms", "long")],
+         ("n_raw_forms", "long"), ("n_in", "long"),
+         ("sum_src_logit_u", "long"), ("mean_src_logit_u", "long"),
+         ("low_quality_neighborhood", "boolean")],
         [
+            ("neighbor_quality", "q152_neighbor_quality",
+             {"vec_id": "node", "n_in": "n_in",
+              "sum_src_logit_u": "sum_src_logit_u",
+              "mean_src_logit_u": "mean_src_logit_u",
+              "low_quality_neighborhood": "low_quality_neighborhood"}),
             ("url_canonical", "q149_url_canonicalize",
              {"group_key": "canonical_url", "cluster_size": "n_docs",
               "survivor_id": "first_doc", "n_raw_forms": "n_raw_forms"}),
@@ -131,8 +138,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("auc_u", "long"), ("threshold_u", "long"), ("tp", "long"),
          ("fp", "long"), ("fn", "long"), ("precision_u", "long"),
          ("recall_u", "long"), ("f1_u", "long"),
-         ("keep_rate_u", "long"), ("gini_u", "long"), ("range_u", "long")],
+         ("keep_rate_u", "long"), ("gini_u", "long"), ("range_u", "long"),
+         ("n00", "long"), ("n01", "long"), ("n10", "long"), ("n11", "long"),
+         ("po_u", "long"), ("pe_u", "long"), ("kappa_u", "long")],
         [
+            ("detector_kappa", "q151_detector_kappa",
+             {"n_docs": "n", "n00": "n00", "n01": "n01", "n10": "n10",
+              "n11": "n11", "po_u": "po_u", "pe_u": "pe_u",
+              "kappa_u": "kappa_u"}),
             ("filter_disparity", "q148_filter_disparity",
              {"source": "source", "n_docs": "n_docs", "n_good": "n_keep",
               "keep_rate_u": "keep_rate_u", "gini_u": "gini_u",
@@ -371,8 +384,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("rerank_score", "double"), ("cum_chars", "long"),
          ("query_id", "long"), ("rnk", "long"), ("doc_id", "long"),
          ("r_bm25", "long"), ("r_tfidf", "long"), ("fused_units", "long"),
-         ("step", "long"), ("rel_u", "long"), ("score_u", "long")],
+         ("step", "long"), ("rel_u", "long"), ("score_u", "long"),
+         ("n_sample", "long"), ("n_pairs", "long"), ("concordant", "long"),
+         ("discordant", "long"), ("ties", "long"), ("tau_u", "long")],
         [
+            ("rank_agreement", "q153_rank_agreement",
+             {"n_sample": "n_sample", "n_pairs": "n_pairs",
+              "concordant": "concordant", "discordant": "discordant",
+              "ties": "ties", "tau_u": "tau_u"}),
             ("rerank_topk", "q55_rerank_topk",
              {"vec_id": "vec_id", "cosine": "cosine",
               "overlap": "overlap", "rerank_score": "rerank_score"}),
@@ -712,8 +731,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("total_chars", "long"), ("mean_chars", "double"),
          ("mode", "string"), ("len_prefix", "long"), ("len_middle", "long"),
          ("len_suffix", "long"), ("fim_md5", "string"), ("lang", "string"),
-         ("slot", "long"), ("k", "long"), ("sched_key", "long")],
+         ("slot", "long"), ("k", "long"), ("sched_key", "long"),
+         ("source", "string"), ("base_quota", "long"),
+         ("extra_seat", "boolean"), ("final_quota", "long")],
         [
+            ("quota_apportionment", "q150_quota_apportionment",
+             {"lang": "lang", "source": "source", "n_docs": "n_docs",
+              "base_quota": "base_quota", "extra_seat": "extra",
+              "final_quota": "final_quota"}),
             ("stride_schedule", "q142_stride_schedule",
              {"slot": "slot", "doc_id": "doc_id", "lang": "lang",
               "k": "k", "sched_key": "sched_key"}),

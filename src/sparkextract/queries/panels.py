@@ -140,8 +140,18 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("recall_u", "long"), ("f1_u", "long"),
          ("keep_rate_u", "long"), ("gini_u", "long"), ("range_u", "long"),
          ("n00", "long"), ("n01", "long"), ("n10", "long"), ("n11", "long"),
-         ("po_u", "long"), ("pe_u", "long"), ("kappa_u", "long")],
+         ("po_u", "long"), ("pe_u", "long"), ("kappa_u", "long"),
+         ("y_max", "long"), ("frontier", "boolean"), ("bin_b", "int"),
+         ("conf_u", "long"), ("acc_u", "long"), ("gap_u", "long"),
+         ("ece_u", "long")],
         [
+            ("pareto_frontier", "q155_pareto_frontier",
+             {"lang": "lang", "n_distinct": "x", "y_max": "y_max",
+              "n_docs": "n_docs", "frontier": "frontier"}),
+            ("calibration_ece", "q157_calibration_ece",
+             {"bin_b": "b", "n_docs": "n_b", "n_pos": "pos_b",
+              "conf_u": "conf_u", "acc_u": "acc_u", "gap_u": "gap_u",
+              "ece_u": "ece_u"}),
             ("detector_kappa", "q151_detector_kappa",
              {"n_docs": "n", "n00": "n00", "n01": "n01", "n10": "n10",
               "n11": "n11", "po_u": "po_u", "pe_u": "pe_u",
@@ -386,8 +396,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("r_bm25", "long"), ("r_tfidf", "long"), ("fused_units", "long"),
          ("step", "long"), ("rel_u", "long"), ("score_u", "long"),
          ("n_sample", "long"), ("n_pairs", "long"), ("concordant", "long"),
-         ("discordant", "long"), ("ties", "long"), ("tau_u", "long")],
+         ("discordant", "long"), ("ties", "long"), ("tau_u", "long"),
+         ("dcg", "double"), ("idcg", "double"), ("ndcg_u", "long"),
+         ("n_rel", "long")],
         [
+            ("ndcg_eval", "q156_ndcg_eval",
+             {"query_id": "query_id", "dcg": "dcg", "idcg": "idcg",
+              "ndcg_u": "ndcg_u", "n_rel": "n_rel"}),
             ("rank_agreement", "q153_rank_agreement",
              {"n_sample": "n_sample", "n_pairs": "n_pairs",
               "concordant": "concordant", "discordant": "discordant",
@@ -684,8 +699,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("z_u", "long"), ("detector", "string"), ("tp", "long"),
          ("fp", "long"), ("fn", "long"), ("precision_u", "long"),
          ("recall_u", "long"), ("n_spans", "long"), ("n_islands", "long"),
-         ("covered_tokens", "long"), ("max_island_len", "long")],
+         ("covered_tokens", "long"), ("max_island_len", "long"),
+         ("n_cdc", "long"), ("shared_cdc", "long"), ("n_fix", "long"),
+         ("shared_fix", "long")],
         [
+            ("cdc_chunking", "q154_cdc_chunking",
+             {"doc_id": "doc_id", "n_cdc": "n_cdc",
+              "shared_cdc": "shared_cdc", "n_fix": "n_fix",
+              "shared_fix": "shared_fix"}),
             ("span_merge", "q147_span_interval_merge",
              {"doc_id": "doc_id", "n_spans": "n_spans",
               "n_islands": "n_islands", "covered_tokens": "covered_tokens",

@@ -92,8 +92,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("total_triangles", "long"), ("gcc_u", "long"),
          ("n_raw_forms", "long"), ("n_in", "long"),
          ("sum_src_logit_u", "long"), ("mean_src_logit_u", "long"),
-         ("low_quality_neighborhood", "boolean")],
+         ("low_quality_neighborhood", "boolean"),
+         ("source", "string"), ("n_docs", "long"), ("n_dup_docs", "long"),
+         ("raw_tokens", "long"), ("eff_tokens_u", "long")],
         [
+            ("soft_dedup", "q159_soft_dedup_weights",
+             {"source": "source", "n_docs": "n_docs",
+              "n_dup_docs": "n_dup_docs", "raw_tokens": "raw_tokens",
+              "eff_tokens_u": "eff_tokens_u"}),
             ("neighbor_quality", "q152_neighbor_quality",
              {"vec_id": "node", "n_in": "n_in",
               "sum_src_logit_u": "sum_src_logit_u",
@@ -264,8 +270,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("total_tokens", "long"), ("avg_tokens", "double"), ("max_tokens", "long"),
          ("bpe_tokens", "long"), ("ws_tokens", "long"), ("fertility", "double"),
          ("token", "string"), ("true_cnt", "long"), ("est_cnt", "long"),
-         ("overcount", "long")],
+         ("overcount", "long"), ("source", "string"),
+         ("n_prefixes", "long"), ("max_prefix_docs", "long"),
+         ("template_share_u", "long")],
         [
+            ("template_profile", "q160_template_prefix_profile",
+             {"source": "source", "n_docs": "n_docs",
+              "n_prefixes": "n_prefixes",
+              "max_prefix_docs": "max_prefix_docs",
+              "template_share_u": "template_share_u"}),
             ("cms_sketch", "q85_cms_heavy_hitters",
              {"token": "token", "true_cnt": "true_cnt",
               "est_cnt": "est_cnt", "overcount": "overcount"}),
@@ -701,8 +714,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("recall_u", "long"), ("n_spans", "long"), ("n_islands", "long"),
          ("covered_tokens", "long"), ("max_island_len", "long"),
          ("n_cdc", "long"), ("shared_cdc", "long"), ("n_fix", "long"),
-         ("shared_fix", "long")],
+         ("shared_fix", "long"), ("bl_entry", "string"),
+         ("n_blocked", "long"), ("min_doc", "long")],
         [
+            ("suffix_blocklist", "q158_suffix_blocklist",
+             {"bl_entry": "entry", "n_blocked": "n_blocked",
+              "min_doc": "min_doc"}),
             ("cdc_chunking", "q154_cdc_chunking",
              {"doc_id": "doc_id", "n_cdc": "n_cdc",
               "shared_cdc": "shared_cdc", "n_fix": "n_fix",

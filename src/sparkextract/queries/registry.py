@@ -24,6 +24,7 @@ import sparkextract.queries.round5d  # noqa: F401
 import sparkextract.queries.round5e  # noqa: F401
 import sparkextract.queries.round5f  # noqa: F401
 import sparkextract.queries.round5g  # noqa: F401
+import sparkextract.queries.round5h  # noqa: F401
 import sparkextract.queries.text  # noqa: F401
 import sparkextract.queries.text2  # noqa: F401
 import sparkextract.queries.vector  # noqa: F401

@@ -94,6 +94,9 @@ HEADLINE = [
     "q136_watermark_detect",
     "q139_bitext_candidates",
     "q141_secret_scan_eval",
+    "q154_cdc_chunking",
+    "q156_ndcg_eval",
+    "q159_soft_dedup_weights",
 ]
 
 

@@ -94,8 +94,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("sum_src_logit_u", "long"), ("mean_src_logit_u", "long"),
          ("low_quality_neighborhood", "boolean"),
          ("source", "string"), ("n_docs", "long"), ("n_dup_docs", "long"),
-         ("raw_tokens", "long"), ("eff_tokens_u", "long")],
+         ("raw_tokens", "long"), ("eff_tokens_u", "long"),
+         ("keeper_quality", "long"), ("best_logit_u", "long"),
+         ("differs", "boolean")],
         [
+            ("quality_survivor", "q162_quality_survivor",
+             {"group_key": "sig0", "cluster_size": "cluster_size",
+              "survivor_id": "keeper_min_id",
+              "keeper_quality": "keeper_quality",
+              "best_logit_u": "best_logit_u", "differs": "differs"}),
             ("soft_dedup", "q159_soft_dedup_weights",
              {"source": "source", "n_docs": "n_docs",
               "n_dup_docs": "n_dup_docs", "raw_tokens": "raw_tokens",
@@ -771,8 +778,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("len_suffix", "long"), ("fim_md5", "string"), ("lang", "string"),
          ("slot", "long"), ("k", "long"), ("sched_key", "long"),
          ("source", "string"), ("base_quota", "long"),
-         ("extra_seat", "boolean"), ("final_quota", "long")],
+         ("extra_seat", "boolean"), ("final_quota", "long"),
+         ("policy", "string"), ("n_pairs", "long"), ("n_cross", "long"),
+         ("cross_frac_u", "long")],
         [
+            ("leakage_audit", "q161_split_leakage_audit",
+             {"policy": "policy", "n_pairs": "n_pairs",
+              "n_cross": "n_cross", "cross_frac_u": "cross_frac_u"}),
             ("quota_apportionment", "q150_quota_apportionment",
              {"lang": "lang", "source": "source", "n_docs": "n_docs",
               "base_quota": "base_quota", "extra_seat": "extra",

@@ -136,7 +136,10 @@ _Q135_STOP_SQL = ", ".join(f"'{s}'" for s in _Q135_STOP)
 
 # shared core: doc_id, lang, n_tokens, n_stop, logit_u, keep
 # (q137/q138 re-select from this same text)
-_Q135_CORE_SQL = f"""
+def _q135_core_sql(src: str = "documents") -> str:
+    """The classifier-core SQL over any (doc_id, lang, text) relation —
+    q162 scores an injected-clone corpus with the same formula."""
+    return f"""
   SELECT doc_id, lang, n_tokens, n_stop,
          CAST({_Q135_W[0]}
                 * CAST(ROUND(ln(1 + n_tokens) * 1000000.0) AS BIGINT)
@@ -161,11 +164,14 @@ _Q135_CORE_SQL = f"""
     FROM (
       SELECT doc_id, lang,
              list_filter(string_split(text, ' '), x -> x <> '') AS l
-      FROM documents
+      FROM {src}
     )
     WHERE len(l) >= 1
   )
 """
+
+
+_Q135_CORE_SQL = _q135_core_sql()
 
 _Q135_ORACLE = f"""
 SELECT doc_id, n_tokens, n_stop, logit_u, (logit_u >= 0) AS keep
@@ -176,7 +182,12 @@ FROM ({_Q135_CORE_SQL})
 def _q135_features(spark, sf_dir):
     """doc_id, lang, n_tokens, n_stop, logit_u — the shared classifier
     core (map-only: one documents scan, array exprs, no shuffle)."""
-    docs = load(spark, sf_dir, "documents")
+    return _q135_features_of(load(spark, sf_dir, "documents"))
+
+
+def _q135_features_of(docs):
+    """Classifier core over any (doc_id, lang, text) frame — the Spark
+    twin of :func:`_q135_core_sql`'s ``src`` parameter."""
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     t = docs.select(
         "doc_id", "lang", toks.alias("l")

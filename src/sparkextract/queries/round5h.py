@@ -187,18 +187,28 @@ FROM weighted GROUP BY source
 
 @register("q159_soft_dedup_weights", oracle=_Q159_ORACLE)
 def q159_soft_dedup_weights(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    mirror = docs.filter(F.col("doc_id") % _Q159_EVERY == 0).select(
-        (F.col("doc_id") + _Q159_ID_OFFSET).alias("doc_id"),
-        F.lit("mirror").alias("source"),
-        "text",
-    )
-    d = docs.unionByName(mirror).select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("h"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    from sparkextract.queries.base import checkpoint_memo
+
+    def _build_d():
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        mirror = docs.filter(F.col("doc_id") % _Q159_EVERY == 0).select(
+            (F.col("doc_id") + _Q159_ID_OFFSET).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+        return docs.unionByName(mirror).select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+
+    # the hashed corpus feeds BOTH join sides: materialize it once
+    # (the q87/q125 memo discipline) instead of re-scanning the parquet
+    # union per subtree
+    d = checkpoint_memo(spark, sf_dir, "q159_d", _build_d)
     # cluster sizes: a mega-cluster is ONE row here, never a window key
     cl = d.groupBy("h").agg(F.count("*").cast("long").alias("c"))
     weighted = d.join(cl, "h").select(

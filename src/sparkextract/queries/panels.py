@@ -448,8 +448,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("user_id", "long"), ("event_id", "long"), ("value", "double"),
          ("rn", "long"), ("running_value", "double"),
          ("view_id", "long"), ("gap_us", "long"),
-         ("click_id", "long"), ("dt_us", "long")],
+         ("click_id", "long"), ("dt_us", "long"),
+         ("n_events", "long"), ("max_rate_60s", "long"),
+         ("violates", "boolean")],
         [
+            ("rate_limit", "q163_rate_limit_audit",
+             {"user_id": "user_id", "n_events": "n_events",
+              "max_rate_60s": "max_rate_60s", "violates": "violates"}),
             ("topk_per_user", "q06_topk_events_per_user",
              {"user_id": "user_id", "event_id": "event_id",
               "value": "value", "rn": "rn"}),

@@ -785,8 +785,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("source", "string"), ("base_quota", "long"),
          ("extra_seat", "boolean"), ("final_quota", "long"),
          ("policy", "string"), ("n_pairs", "long"), ("n_cross", "long"),
-         ("cross_frac_u", "long")],
+         ("cross_frac_u", "long"), ("n_moved", "long"),
+         ("moved_frac_u", "long")],
         [
+            ("rebalance", "q164_rendezvous_rebalance",
+             {"policy": "policy", "n_docs": "n_docs",
+              "n_moved": "n_moved", "moved_frac_u": "moved_frac_u"}),
             ("leakage_audit", "q161_split_leakage_audit",
              {"policy": "policy", "n_pairs": "n_pairs",
               "n_cross": "n_cross", "cross_frac_u": "cross_frac_u"}),

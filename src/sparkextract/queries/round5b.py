@@ -241,7 +241,12 @@ def q120_cluster_drift(spark, sf_dir):
 # algebraically reduced form, so no compounded float ops).
 # Scale shape: per-doc TF tables explode map-side; the pair join is
 # keyed by (pair_id, gram) — no all-pairs blowup, candidate pairing is
-# an id equi-join.
+# an id equi-join. Deliberately NOT checkpoint_memo'd: each TF table's
+# identical groupBy subtrees are deduplicated at runtime by AQE
+# exchange reuse, and an A/B measurement (round 5) showed the eager
+# memo materialization costs ~2x on a one-shot invocation (2.5 s vs
+# 1.3 s at sf0.1) and only wins when MULTIPLE queries share the table
+# (the q125/q127 situation, not this one).
 _Q121_TOPK = 100
 
 

@@ -122,6 +122,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("components", "q71_dup_components",
              {"vec_id": "vec_id", "component": "component",
               "cluster_size": "cluster_size"}),
+            ("two_phase_cc", "q165_two_phase_cc",
+             {"vec_id": "doc_id", "component": "component",
+              "cluster_size": "cluster_size"}),
             ("survivors", "q72_dup_survivors",
              {"vec_id": "vec_id", "survivor_id": "survivor_id",
               "is_survivor": "is_survivor"}),

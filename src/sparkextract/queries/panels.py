@@ -522,13 +522,20 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         ],
     ),
     # embedding diagnostics: LSH bucket histogram; per-label quality;
-    # int8 quantization fidelity (round 5 absorption).
+    # int8 quantization fidelity; JL projection distortion histogram
+    # (round 5 absorptions).
     "panel_embedding_stats": (
         [("bucket", "int"), ("label", "int"), ("n_vectors", "long"),
          ("min_vec_id", "long"), ("avg_l2", "double"),
          ("n_zero_components", "long"), ("vec_id", "long"),
-         ("cos_quant", "double"), ("cos_exact", "double")],
+         ("cos_quant", "double"), ("cos_exact", "double"),
+         ("ratio_bin", "long"), ("mean_ratio", "double"),
+         ("min_ratio", "double"), ("max_ratio", "double")],
         [
+            ("jl_distortion", "q166_jl_distortion",
+             {"ratio_bin": "ratio_bin", "n_vectors": "n_pairs",
+              "mean_ratio": "mean_ratio", "min_ratio": "min_ratio",
+              "max_ratio": "max_ratio"}),
             ("lsh_hist", "q28_lsh_buckets",
              {"bucket": "bucket", "n_vectors": "n_vectors",
               "min_vec_id": "min_vec_id"}),

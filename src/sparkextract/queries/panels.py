@@ -796,8 +796,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("extra_seat", "boolean"), ("final_quota", "long"),
          ("policy", "string"), ("n_pairs", "long"), ("n_cross", "long"),
          ("cross_frac_u", "long"), ("n_moved", "long"),
-         ("moved_frac_u", "long")],
+         ("moved_frac_u", "long"), ("n_buckets", "long"),
+         ("n_empty", "long"), ("max_rows", "long"),
+         ("imbalance_u", "long"), ("gini_u", "long")],
         [
+            ("skew_audit", "q167_partition_skew_audit",
+             {"policy": "policy", "n_buckets": "n_buckets",
+              "n_empty": "n_empty", "max_rows": "max_rows",
+              "imbalance_u": "imbalance_u", "gini_u": "gini_u"}),
             ("rebalance", "q164_rendezvous_rebalance",
              {"policy": "policy", "n_docs": "n_docs",
               "n_moved": "n_moved", "moved_frac_u": "moved_frac_u"}),
@@ -879,8 +885,11 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("vec_id", "long"), ("label", "int"), ("cosine", "double"),
          ("cell", "long"), ("doc_id", "long"), ("lang", "string"),
          ("n_chars", "long"), ("conf", "double"), ("n_overlap", "long"),
-         ("recall_at_10", "double")],
+         ("recall_at_10", "double"), ("recall_u", "long")],
         [
+            ("matryoshka_recall", "q168_matryoshka_recall",
+             {"vec_id": "query_id", "n_overlap": "n_overlap",
+              "recall_u": "recall_u"}),
             ("brute_topk", "q27_cosine_topk",
              {"vec_id": "vec_id", "label": "label", "cosine": "cosine"}),
             ("ivf_topk", "q46_ivf_topk",

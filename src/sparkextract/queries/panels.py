@@ -222,7 +222,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("sig2", "string"), ("sig3", "string"),
          ("n_exact", "long"), ("n_minhash", "long"), ("n_prefix", "long"),
          ("n_em", "long"), ("n_ep", "long"), ("n_mp", "long"),
-         ("n_emp", "long")],
+         ("n_emp", "long"), ("config", "string"), ("n_bands", "long"),
+         ("rows_per_band", "long"), ("n_candidates", "long"),
+         ("n_true_pairs", "long"), ("precision_u", "long")],
         [
             ("simhash64", "q32_simhash", {"doc_id": "doc_id", "simhash": "simhash"}),
             ("minhash", "q19_minhash_signature",
@@ -232,6 +234,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
              {"n_exact": "n_exact", "n_minhash": "n_minhash",
               "n_prefix": "n_prefix", "n_em": "n_em", "n_ep": "n_ep",
               "n_mp": "n_mp", "n_emp": "n_emp"}),
+            ("lsh_s_curve", "q169_lsh_s_curve_sweep",
+             {"config": "config", "n_bands": "n_bands",
+              "rows_per_band": "rows_per_band",
+              "n_candidates": "n_candidates",
+              "n_true_pairs": "n_true_pairs",
+              "precision_u": "precision_u"}),
         ],
     ),
     # malformed-input semantics through real extraction.
@@ -842,7 +850,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("doc_id_bucket", "int"), ("doc_count", "long"),
          ("span_count", "long"), ("table_count", "long"),
          ("status", "string"), ("run_seq", "int"), ("doc_id", "long"),
-         ("content_md5", "string"), ("needs_extraction", "boolean")],
+         ("content_md5", "string"), ("needs_extraction", "boolean"),
+         ("source", "string"), ("dirty", "boolean"),
+         ("sum_chars", "long"), ("min_chars", "long"),
+         ("max_chars", "long"), ("matches_full", "boolean")],
         [
             ("manifest_resume", "q95_manifest_resume_state",
              {"doc_id_bucket": "doc_id_bucket", "doc_count": "doc_count",
@@ -855,6 +866,11 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("incremental", "q106_incremental_extraction",
              {"doc_id": "doc_id", "status": "status",
               "span_count": "span_count"}),
+            ("view_maintenance", "q170_incremental_view_maintenance",
+             {"source": "source", "dirty": "dirty",
+              "doc_count": "n_docs", "sum_chars": "sum_chars",
+              "min_chars": "min_chars", "max_chars": "max_chars",
+              "matches_full": "matches_full"}),
         ],
     ),
     # deterministic RAG analogs: citation assembly + query expansion

@@ -11,10 +11,16 @@ layout's banded self-join yields its candidate set, and candidates
 are exact-verified with 8-char-shingle Jaccard >= 0.5 (the integer
 form 2*|A&B| >= |A|+|B|-|A&B|, exact in both engines). The verdict
 per layout: candidate count, verified-true count, precision. Scale
-shape: signatures are one map-side-combinable 16-min aggregate built
-ONCE (checkpoint_memo) and reused by all four layouts; every join is
-banded-key equi-join — never corpus all-pairs; the exact verify runs
-only on candidates.
+shape: a parameter sweep NEVER runs at corpus scale — the aggressive
+16x1 layout's junk-candidate set grows superlinearly by design (that
+is what the sweep measures), so the sweep corpus is a bounded
+deterministic md5-bucket sample (the q107 sampled-eval protocol) with
+the planted near-dup twins derived FROM the sample so every true pair
+stays inside it; the winning layout is what then runs corpus-wide
+(q38/q118). Within the sample: signatures are one map-side-combinable
+16-min aggregate built ONCE (checkpoint_memo) and reused by all four
+layouts; every join is a banded-key equi-join — never all-pairs; the
+exact verify runs only on candidates.
 
 q170 — INCREMENTAL GROUPED-VIEW MAINTENANCE (dirty-group recompute).
 A per-source stats view over 10^12 docs cannot be recomputed per
@@ -42,13 +48,18 @@ from sparkextract.queries.base import (
 
 _Q169_NPERM = 16
 _Q169_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+_Q169_SAMPLE_BUCKETS = 4  # sweep runs on the bucket-0 quarter of the corpus
 
-_Q169_CORPUS = """
-  SELECT doc_id, SUBSTRING(text, 1, 256) AS head FROM documents
+_Q169_CORPUS = f"""
+  WITH sampled AS (
+    SELECT doc_id, text FROM documents
+    WHERE {md5_bucket_sql("doc_id", _Q169_SAMPLE_BUCKETS)} = 0
+  )
+  SELECT doc_id, SUBSTRING(text, 1, 256) AS head FROM sampled
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id,
          SUBSTRING('xxxxxxxxxx' || SUBSTRING(text, 11), 1, 256) AS head
-  FROM documents WHERE doc_id % 11 = 0
+  FROM sampled WHERE doc_id % 11 = 0
 """
 
 _Q169_SHINGLES_SQL = (
@@ -122,7 +133,11 @@ FROM meta m LEFT JOIN agg a ON a.cfg = m.cfg
 
 def _q169_sigs(spark, sf_dir):
     def build():
-        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(md5_bucket(F.col("doc_id"), _Q169_SAMPLE_BUCKETS) == 0)
+        )
         near = docs.filter(F.col("doc_id") % 11 == 0).select(
             (F.col("doc_id") + 2000000).alias("doc_id"),
             F.concat(F.lit("xxxxxxxxxx"), F.expr("substring(text, 11)")).alias(

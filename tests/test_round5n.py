@@ -28,11 +28,18 @@ def _md5_bucket(s: str, n: int) -> int:
 
 
 def _q169_python(sf_dir):
-    from sparkextract.queries.round5n import _Q169_CONFIGS, _Q169_NPERM
+    from sparkextract.queries.round5n import (
+        _Q169_CONFIGS,
+        _Q169_NPERM,
+        _Q169_SAMPLE_BUCKETS,
+    )
 
     tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).to_pylist()
+    tbl = [
+        r for r in tbl if _md5_bucket(str(r["doc_id"]), _Q169_SAMPLE_BUCKETS) == 0
+    ]
     corpus = [(r["doc_id"], r["text"][:256]) for r in tbl]
     corpus += [
         (r["doc_id"] + 2000000, ("x" * 10 + r["text"][10:])[:256])

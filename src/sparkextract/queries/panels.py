@@ -224,8 +224,24 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_em", "long"), ("n_ep", "long"), ("n_mp", "long"),
          ("n_emp", "long"), ("config", "string"), ("n_bands", "long"),
          ("rows_per_band", "long"), ("n_candidates", "long"),
-         ("n_true_pairs", "long"), ("precision_u", "long")],
+         ("n_true_pairs", "long"), ("precision_u", "long"),
+         ("t_u", "long"), ("n_docs", "long"), ("n_all_pairs", "long"),
+         ("n_cand_true", "long"), ("n_true_allpairs", "long"),
+         ("complete", "boolean"), ("prune_ratio_u", "long"),
+         ("n_rows", "long"), ("n_keys", "long"), ("exact_f2", "long"),
+         ("est_f2", "long"), ("ratio_u", "long")],
         [
+            ("prefix_filter_audit", "q173_prefix_filter_audit",
+             {"t_u": "t_u", "n_docs": "n_docs",
+              "n_all_pairs": "n_all_pairs",
+              "n_candidates": "n_candidates",
+              "n_cand_true": "n_cand_true",
+              "n_true_allpairs": "n_true_allpairs",
+              "complete": "complete", "prune_ratio_u": "prune_ratio_u"}),
+            ("ams_f2", "q174_ams_f2_join_size",
+             {"n_rows": "n_rows", "n_keys": "n_keys",
+              "exact_f2": "exact_f2", "est_f2": "est_f2",
+              "ratio_u": "ratio_u"}),
             ("simhash64", "q32_simhash", {"doc_id": "doc_id", "simhash": "simhash"}),
             ("minhash", "q19_minhash_signature",
              {"doc_id": "doc_id", "sig0": "sig0", "sig1": "sig1",
@@ -358,8 +374,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("bucket_hour", "long"), ("n_users", "long"),
          ("user_id", "long"), ("session_seq", "long"), ("duration_us", "long"),
          ("v_registers", "long"), ("zeros", "long"),
-         ("est_distinct", "double"), ("exact_distinct", "long")],
+         ("est_distinct", "double"), ("exact_distinct", "long"),
+         ("t2", "string"), ("est_t1", "double"), ("est_t2", "double"),
+         ("est_union", "double"), ("est_intersection", "double"),
+         ("exact_intersection", "long")],
         [
+            ("hll_overlap", "q171_hll_set_overlap",
+             {"event_type": "t1", "t2": "t2", "est_t1": "est_t1",
+              "est_t2": "est_t2", "est_union": "est_union",
+              "est_intersection": "est_intersection",
+              "exact_intersection": "exact_intersection"}),
             ("type_stats", "q05_event_type_stats",
              {"event_type": "event_type", "n_events": "n_events",
               "sum_value": "sum_value", "first_us": "first_us", "last_us": "last_us"}),
@@ -853,8 +877,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("content_md5", "string"), ("needs_extraction", "boolean"),
          ("source", "string"), ("dirty", "boolean"),
          ("sum_chars", "long"), ("min_chars", "long"),
-         ("max_chars", "long"), ("matches_full", "boolean")],
+         ("max_chars", "long"), ("matches_full", "boolean"),
+         ("old_count", "long"), ("new_count", "long"),
+         ("clean", "boolean"), ("n_added", "long"),
+         ("n_changed", "long"), ("n_removed", "long")],
         [
+            ("merkle_diff", "q172_merkle_snapshot_diff",
+             {"doc_id_bucket": "leaf", "old_count": "old_count",
+              "new_count": "new_count", "clean": "clean",
+              "n_added": "n_added", "n_changed": "n_changed",
+              "n_removed": "n_removed"}),
             ("manifest_resume", "q95_manifest_resume_state",
              {"doc_id_bucket": "doc_id_bucket", "doc_count": "doc_count",
               "span_count": "span_count", "table_count": "table_count",

@@ -159,8 +159,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("po_u", "long"), ("pe_u", "long"), ("kappa_u", "long"),
          ("y_max", "long"), ("frontier", "boolean"), ("bin_b", "int"),
          ("conf_u", "long"), ("acc_u", "long"), ("gap_u", "long"),
-         ("ece_u", "long")],
+         ("ece_u", "long"), ("tn", "long"), ("n_match", "long"),
+         ("n_non", "long")],
         [
+            ("fs_linkage", "q176_fellegi_sunter_linkage",
+             {"threshold_u": "threshold", "n_match": "n_match",
+              "n_non": "n_non", "tp": "tp", "fp": "fp", "fn": "fn",
+              "tn": "tn"}),
             ("pareto_frontier", "q155_pareto_frontier",
              {"lang": "lang", "n_distinct": "x", "y_max": "y_max",
               "n_docs": "n_docs", "frontier": "frontier"}),
@@ -229,8 +234,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_cand_true", "long"), ("n_true_allpairs", "long"),
          ("complete", "boolean"), ("prune_ratio_u", "long"),
          ("n_rows", "long"), ("n_keys", "long"), ("exact_f2", "long"),
-         ("est_f2", "long"), ("ratio_u", "long")],
+         ("est_f2", "long"), ("ratio_u", "long"),
+         ("n_orders", "long"), ("n_lineitem", "long"),
+         ("exact_join_size", "long"), ("est_join_size", "long")],
         [
+            ("agms_join_size", "q175_agms_join_size",
+             {"n_orders": "n_orders", "n_lineitem": "n_lineitem",
+              "exact_join_size": "exact_join_size",
+              "est_join_size": "est_join_size", "ratio_u": "ratio_u"}),
             ("prefix_filter_audit", "q173_prefix_filter_audit",
              {"t_u": "t_u", "n_docs": "n_docs",
               "n_all_pairs": "n_all_pairs",
@@ -830,8 +841,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("cross_frac_u", "long"), ("n_moved", "long"),
          ("moved_frac_u", "long"), ("n_buckets", "long"),
          ("n_empty", "long"), ("max_rows", "long"),
-         ("imbalance_u", "long"), ("gini_u", "long")],
+         ("imbalance_u", "long"), ("gini_u", "long"),
+         ("n_batches", "long"), ("total_tokens", "long"),
+         ("padded_tokens", "long"), ("waste_u", "long")],
         [
+            ("padding_waste", "q178_padding_waste_audit",
+             {"policy": "policy", "n_batches": "n_batches",
+              "total_tokens": "total_tokens",
+              "padded_tokens": "padded_tokens", "waste_u": "waste_u"}),
             ("skew_audit", "q167_partition_skew_audit",
              {"policy": "policy", "n_buckets": "n_buckets",
               "n_empty": "n_empty", "max_rows": "max_rows",
@@ -933,11 +950,18 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("vec_id", "long"), ("label", "int"), ("cosine", "double"),
          ("cell", "long"), ("doc_id", "long"), ("lang", "string"),
          ("n_chars", "long"), ("conf", "double"), ("n_overlap", "long"),
-         ("recall_at_10", "double"), ("recall_u", "long")],
+         ("recall_at_10", "double"), ("recall_u", "long"),
+         ("raw_top", "long"), ("raw_cos_u", "long"),
+         ("margin_top", "long"), ("margin_u", "long"),
+         ("changed", "boolean")],
         [
             ("matryoshka_recall", "q168_matryoshka_recall",
              {"vec_id": "query_id", "n_overlap": "n_overlap",
               "recall_u": "recall_u"}),
+            ("margin_alignment", "q177_margin_alignment",
+             {"vec_id": "query_id", "raw_top": "raw_top",
+              "raw_cos_u": "raw_cos_u", "margin_top": "margin_top",
+              "margin_u": "margin_u", "changed": "changed"}),
             ("brute_topk", "q27_cosine_topk",
              {"vec_id": "vec_id", "label": "label", "cosine": "cosine"}),
             ("ivf_topk", "q46_ivf_topk",

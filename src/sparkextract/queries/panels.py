@@ -317,8 +317,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("token", "string"), ("true_cnt", "long"), ("est_cnt", "long"),
          ("overcount", "long"), ("source", "string"),
          ("n_prefixes", "long"), ("max_prefix_docs", "long"),
-         ("template_share_u", "long")],
+         ("template_share_u", "long"), ("est", "long"), ("exact", "long"),
+         ("err", "long"), ("bound", "long"), ("within_bound", "boolean")],
         [
+            ("mg_heavy_hitters", "q179_misra_gries_heavy_hitters",
+             {"token": "token", "est": "est", "exact": "exact",
+              "err": "err", "bound": "bound",
+              "within_bound": "within_bound"}),
             ("template_profile", "q160_template_prefix_profile",
              {"source": "source", "n_docs": "n_docs",
               "n_prefixes": "n_prefixes",
@@ -388,8 +393,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("est_distinct", "double"), ("exact_distinct", "long"),
          ("t2", "string"), ("est_t1", "double"), ("est_t2", "double"),
          ("est_union", "double"), ("est_intersection", "double"),
-         ("exact_intersection", "long")],
+         ("exact_intersection", "long"), ("decayed_mass", "double"),
+         ("rank_raw", "long"), ("rank_decayed", "long"),
+         ("rank_changed", "boolean")],
         [
+            ("decayed_popularity", "q180_decayed_popularity",
+             {"event_type": "event_type", "n_events": "n_events",
+              "decayed_mass": "decayed_mass", "rank_raw": "rank_raw",
+              "rank_decayed": "rank_decayed",
+              "rank_changed": "rank_changed"}),
             ("hll_overlap", "q171_hll_set_overlap",
              {"event_type": "t1", "t2": "t2", "est_t1": "est_t1",
               "est_t2": "est_t2", "est_union": "est_union",

@@ -97,6 +97,8 @@ HEADLINE = [
     "q154_cdc_chunking",
     "q156_ndcg_eval",
     "q159_soft_dedup_weights",
+    "q172_merkle_snapshot_diff",
+    "q179_misra_gries_heavy_hitters",
 ]
 
 

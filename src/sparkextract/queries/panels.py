@@ -96,7 +96,8 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("source", "string"), ("n_docs", "long"), ("n_dup_docs", "long"),
          ("raw_tokens", "long"), ("eff_tokens_u", "long"),
          ("keeper_quality", "long"), ("best_logit_u", "long"),
-         ("differs", "boolean")],
+         ("differs", "boolean"), ("role", "string"), ("rnk", "long"),
+         ("doc_id", "long"), ("score_u", "long")],
         [
             ("quality_survivor", "q162_quality_survivor",
              {"group_key": "sig0", "cluster_size": "cluster_size",
@@ -122,6 +123,9 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("components", "q71_dup_components",
              {"vec_id": "vec_id", "component": "component",
               "cluster_size": "cluster_size"}),
+            ("hits", "q182_hits_hubs_authorities",
+             {"role": "role", "rnk": "rnk", "doc_id": "doc_id",
+              "score_u": "score_u"}),
             ("two_phase_cc", "q165_two_phase_cc",
              {"vec_id": "doc_id", "component": "component",
               "cluster_size": "cluster_size"}),
@@ -855,8 +859,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_empty", "long"), ("max_rows", "long"),
          ("imbalance_u", "long"), ("gini_u", "long"),
          ("n_batches", "long"), ("total_tokens", "long"),
-         ("padded_tokens", "long"), ("waste_u", "long")],
+         ("padded_tokens", "long"), ("waste_u", "long"),
+         ("n_sampled_old", "long"), ("n_sampled_new", "long"),
+         ("n_overlap", "long"), ("n_lost_surviving", "long"),
+         ("churn_u", "long")],
         [
+            ("sample_churn", "q181_sample_churn_audit",
+             {"policy": "policy", "n_sampled_old": "n_sampled_old",
+              "n_sampled_new": "n_sampled_new", "n_overlap": "n_overlap",
+              "n_lost_surviving": "n_lost_surviving",
+              "churn_u": "churn_u"}),
             ("padding_waste", "q178_padding_waste_audit",
              {"policy": "policy", "n_batches": "n_batches",
               "total_tokens": "total_tokens",

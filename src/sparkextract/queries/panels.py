@@ -97,7 +97,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("raw_tokens", "long"), ("eff_tokens_u", "long"),
          ("keeper_quality", "long"), ("best_logit_u", "long"),
          ("differs", "boolean"), ("role", "string"), ("rnk", "long"),
-         ("doc_id", "long"), ("score_u", "long")],
+         ("doc_id", "long"), ("score_u", "long"),
+         ("entity_id", "long"), ("n_records", "long"),
+         ("n_clean", "long"), ("n_dirty", "long"),
+         ("is_pure", "boolean"), ("n_true_pairs", "long")],
         [
             ("quality_survivor", "q162_quality_survivor",
              {"group_key": "sig0", "cluster_size": "cluster_size",
@@ -126,6 +129,10 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
             ("hits", "q182_hits_hubs_authorities",
              {"role": "role", "rnk": "rnk", "doc_id": "doc_id",
               "score_u": "score_u"}),
+            ("entity_resolution", "q184_entity_resolution",
+             {"entity_id": "entity_id", "n_records": "n_records",
+              "n_clean": "n_clean", "n_dirty": "n_dirty",
+              "is_pure": "is_pure", "n_true_pairs": "n_true_pairs"}),
             ("two_phase_cc", "q165_two_phase_cc",
              {"vec_id": "doc_id", "component": "component",
               "cluster_size": "cluster_size"}),
@@ -512,8 +519,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("view_id", "long"), ("gap_us", "long"),
          ("click_id", "long"), ("dt_us", "long"),
          ("n_events", "long"), ("max_rate_60s", "long"),
-         ("violates", "boolean")],
+         ("violates", "boolean"), ("event_type", "string"),
+         ("n_on_time", "long"), ("n_late_accepted", "long"),
+         ("n_dropped", "long"), ("max_lateness_us", "long")],
         [
+            ("watermark_audit", "q183_watermark_late_events",
+             {"event_type": "event_type", "n_events": "n_events",
+              "n_on_time": "n_on_time",
+              "n_late_accepted": "n_late_accepted",
+              "n_dropped": "n_dropped",
+              "max_lateness_us": "max_lateness_us"}),
             ("rate_limit", "q163_rate_limit_audit",
              {"user_id": "user_id", "n_events": "n_events",
               "max_rate_60s": "max_rate_60s", "violates": "violates"}),

@@ -35,6 +35,7 @@ import sparkextract.queries.round5o  # noqa: F401
 import sparkextract.queries.round5p  # noqa: F401
 import sparkextract.queries.round5q  # noqa: F401
 import sparkextract.queries.round5r  # noqa: F401
+import sparkextract.queries.round5s  # noqa: F401
 import sparkextract.queries.text  # noqa: F401
 import sparkextract.queries.text2  # noqa: F401
 import sparkextract.queries.vector  # noqa: F401

@@ -243,8 +243,10 @@ GROUP BY t.threshold, w.n_match, w.n_non
 """
 
 
-@register("q176_fellegi_sunter_linkage", oracle=_q176_oracle())
-def q176_fellegi_sunter_linkage(spark, sf_dir):
+def fs_scored_pairs(spark, sf_dir):
+    """Blocked candidate pairs with the Fellegi-Sunter log-odds score:
+    (c_custkey, d_key, is_match, score, n_match, n_non). Shared by q176
+    (threshold confusion sweep) and q184 (entity resolution)."""
     cust = load(spark, sf_dir, "customer")
     bkt = md5_bucket(F.col("c_custkey"), _Q176_DIRTY_BUCKETS)
     dirty = cust.select(
@@ -347,8 +349,20 @@ def q176_fellegi_sunter_linkage(spark, sf_dir):
             F.col(f"wd_{f}")
         )
         score = term if score is None else score + term
-    scored = agree.crossJoin(F.broadcast(w)).select(
-        "is_match", score.cast("double").alias("score"), "n_match", "n_non"
+    return agree.crossJoin(F.broadcast(w)).select(
+        "c_custkey",
+        "d_key",
+        "is_match",
+        score.cast("double").alias("score"),
+        "n_match",
+        "n_non",
+    )
+
+
+@register("q176_fellegi_sunter_linkage", oracle=_q176_oracle())
+def q176_fellegi_sunter_linkage(spark, sf_dir):
+    scored = fs_scored_pairs(spark, sf_dir).select(
+        "is_match", "score", "n_match", "n_non"
     )
     thresholds = F.explode(
         F.array(*[F.lit(t) for t in _Q176_THRESHOLDS])

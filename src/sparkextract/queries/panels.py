@@ -561,8 +561,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     "panel_token_index": (
         [("token", "string"), ("freq", "long"),
          ("doc_id", "long"), ("pos", "long"),
-         ("tok_b", "string"), ("pmi", "double")],
+         ("tok_b", "string"), ("pmi", "double"),
+         ("df_ante", "long"), ("df_cons", "long"),
+         ("conf_u", "long"), ("lift_u", "long")],
         [
+            ("assoc_rules", "q185_association_rules",
+             {"token": "antecedent", "tok_b": "consequent",
+              "df_ante": "df_ante", "df_cons": "df_cons",
+              "freq": "df_ab", "conf_u": "conf_u", "lift_u": "lift_u"}),
             ("pmi_pairs", "q88_pmi_cooccurrence",
              {"token": "tok_a", "tok_b": "tok_b", "freq": "df_ab",
               "pmi": "pmi"}),

@@ -36,6 +36,7 @@ import sparkextract.queries.round5p  # noqa: F401
 import sparkextract.queries.round5q  # noqa: F401
 import sparkextract.queries.round5r  # noqa: F401
 import sparkextract.queries.round5s  # noqa: F401
+import sparkextract.queries.round5t  # noqa: F401
 import sparkextract.queries.text  # noqa: F401
 import sparkextract.queries.text2  # noqa: F401
 import sparkextract.queries.vector  # noqa: F401

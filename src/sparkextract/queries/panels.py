@@ -308,8 +308,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
         [("cell", "long"), ("n_assigned", "long"),
          ("centroid_l2", "double"), ("centroid_shift", "double"),
          ("vec_id", "long"), ("a_u", "long"), ("b_u", "long"),
-         ("sil_u", "long")],
+         ("sil_u", "long"), ("n_nodes", "long"), ("deg_sum", "long"),
+         ("e_within", "long"), ("m_edges", "long"), ("q_contrib", "double")],
         [
+            ("modularity", "q187_graph_modularity",
+             {"cell": "cell", "n_nodes": "n_nodes", "deg_sum": "deg_sum",
+              "e_within": "e_within", "m_edges": "m_edges",
+              "q_contrib": "q_contrib"}),
             ("iter1", "q52_kmeans_step",
              {"cell": "cell", "n_assigned": "n_assigned", "centroid_l2": "centroid_l2"}),
             ("iter2", "q57_kmeans_step2",
@@ -329,8 +334,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("overcount", "long"), ("source", "string"),
          ("n_prefixes", "long"), ("max_prefix_docs", "long"),
          ("template_share_u", "long"), ("est", "long"), ("exact", "long"),
-         ("err", "long"), ("bound", "long"), ("within_bound", "boolean")],
+         ("err", "long"), ("bound", "long"), ("within_bound", "boolean"),
+         ("v_obs", "long"), ("f1", "long"), ("f2", "long"),
+         ("chao1_u", "long"), ("p0_u", "long"), ("coverage_u", "long")],
         [
+            ("vocab_richness", "q186_vocab_richness",
+             {"lang": "lang", "v_obs": "v_obs", "total_tokens": "n_tokens",
+              "f1": "f1", "f2": "f2", "chao1_u": "chao1_u",
+              "p0_u": "p0_u", "coverage_u": "coverage_u"}),
             ("mg_heavy_hitters", "q179_misra_gries_heavy_hitters",
              {"token": "token", "est": "est", "exact": "exact",
               "err": "err", "bound": "bound",

@@ -171,8 +171,11 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("y_max", "long"), ("frontier", "boolean"), ("bin_b", "int"),
          ("conf_u", "long"), ("acc_u", "long"), ("gap_u", "long"),
          ("ece_u", "long"), ("tn", "long"), ("n_match", "long"),
-         ("n_non", "long")],
+         ("n_non", "long"), ("xent", "double")],
         [
+            ("kneser_ney", "q189_kneser_ney_lm",
+             {"doc_id": "doc_id", "n_bigrams": "n_bigrams",
+              "xent": "xent"}),
             ("fs_linkage", "q176_fellegi_sunter_linkage",
              {"threshold_u": "threshold", "n_match": "n_match",
               "n_non": "n_non", "tp": "tp", "fp": "fp", "fn": "fn",
@@ -336,8 +339,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("template_share_u", "long"), ("est", "long"), ("exact", "long"),
          ("err", "long"), ("bound", "long"), ("within_bound", "boolean"),
          ("v_obs", "long"), ("f1", "long"), ("f2", "long"),
-         ("chao1_u", "long"), ("p0_u", "long"), ("coverage_u", "long")],
+         ("chao1_u", "long"), ("p0_u", "long"), ("coverage_u", "long"),
+         ("bucket", "long"), ("n_cum", "long"), ("v_cum", "long"),
+         ("beta", "double")],
         [
+            ("heaps_law", "q188_heaps_law",
+             {"bucket": "bucket", "n_cum": "n_cum", "v_cum": "v_cum",
+              "beta": "beta"}),
             ("vocab_richness", "q186_vocab_richness",
              {"lang": "lang", "v_obs": "v_obs", "total_tokens": "n_tokens",
               "f1": "f1", "f2": "f2", "chao1_u": "chao1_u",

@@ -384,8 +384,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("est_p50", "long"), ("est_p90", "long"), ("est_p99", "long"),
          ("mix_weight", "double"), ("epochs_per_doc", "double"),
          ("n_keep", "long"), ("n_folds", "long"), ("keep_rate_u", "long"),
-         ("se_u", "long"), ("ci_lo_u", "long"), ("ci_hi_u", "long")],
+         ("se_u", "long"), ("ci_lo_u", "long"), ("ci_hi_u", "long"),
+         ("r", "long"), ("n_eff", "long"), ("boot_mean", "double"),
+         ("ci_lo", "double"), ("ci_hi", "double")],
         [
+            ("poisson_bootstrap", "q191_poisson_bootstrap",
+             {"r": "r", "n_eff": "n_eff", "boot_mean": "boot_mean",
+              "ci_lo": "ci_lo", "ci_hi": "ci_hi"}),
             ("jackknife_ci", "q140_jackknife_ci",
              {"n_docs": "n_docs", "n_keep": "n_keep", "n_folds": "n_folds",
               "keep_rate_u": "keep_rate_u", "se_u": "se_u",
@@ -902,8 +907,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("padded_tokens", "long"), ("waste_u", "long"),
          ("n_sampled_old", "long"), ("n_sampled_new", "long"),
          ("n_overlap", "long"), ("n_lost_surviving", "long"),
-         ("churn_u", "long")],
+         ("churn_u", "long"), ("true_n", "long"), ("noise", "double"),
+         ("noisy", "double"), ("rank_true", "long"),
+         ("rank_noisy", "long"), ("rank_shift", "long"),
+         ("l1_err", "double")],
         [
+            ("dp_release", "q190_dp_noisy_release",
+             {"source": "source", "true_n": "true_n", "noise": "noise",
+              "noisy": "noisy", "rank_true": "rank_true",
+              "rank_noisy": "rank_noisy", "rank_shift": "rank_shift",
+              "l1_err": "l1_err"}),
             ("sample_churn", "q181_sample_churn_audit",
              {"policy": "policy", "n_sampled_old": "n_sampled_old",
               "n_sampled_new": "n_sampled_new", "n_overlap": "n_overlap",

@@ -341,8 +341,14 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("v_obs", "long"), ("f1", "long"), ("f2", "long"),
          ("chao1_u", "long"), ("p0_u", "long"), ("coverage_u", "long"),
          ("bucket", "long"), ("n_cum", "long"), ("v_cum", "long"),
-         ("beta", "double")],
+         ("beta", "double"), ("o0", "long"), ("o1", "long"),
+         ("e0", "double"), ("e1", "double"), ("chi2_lang", "double"),
+         ("chi2_total", "double"), ("dof", "long")],
         [
+            ("chi_square_drift", "q193_chi_square_drift",
+             {"lang": "lang", "o0": "o0", "o1": "o1", "e0": "e0",
+              "e1": "e1", "chi2_lang": "chi2_lang",
+              "chi2_total": "chi2_total", "dof": "dof"}),
             ("heaps_law", "q188_heaps_law",
              {"bucket": "bucket", "n_cum": "n_cum", "v_cum": "v_cum",
               "beta": "beta"}),
@@ -910,8 +916,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("churn_u", "long"), ("true_n", "long"), ("noise", "double"),
          ("noisy", "double"), ("rank_true", "long"),
          ("rank_noisy", "long"), ("rank_shift", "long"),
-         ("l1_err", "double")],
+         ("l1_err", "double"), ("sum_chars", "long"),
+         ("full_mean", "double"), ("loo_mean", "double"),
+         ("influence", "double"), ("influence_rank", "long")],
         [
+            ("loo_influence", "q192_loo_influence",
+             {"source": "source", "n_docs": "n_docs",
+              "sum_chars": "sum_chars", "full_mean": "full_mean",
+              "loo_mean": "loo_mean", "influence": "influence",
+              "influence_rank": "influence_rank"}),
             ("dp_release", "q190_dp_noisy_release",
              {"source": "source", "true_n": "true_n", "noise": "noise",
               "noisy": "noisy", "rank_true": "rank_true",

@@ -60,8 +60,12 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
     "panel_dup_pairs": (
         [("left_id", "long"), ("right_id", "long"), ("score", "double"),
          ("n_shared_keys", "long"), ("jaccard_u", "long"),
-         ("edit_dist", "long"), ("sim_u", "long")],
+         ("edit_dist", "long"), ("sim_u", "long"), ("n_union", "long")],
         [
+            ("sorted_neighborhood", "q194_sorted_neighborhood",
+             {"left_id": "left_id", "right_id": "right_id",
+              "n_shared_keys": "n_common", "n_union": "n_union",
+              "jaccard_u": "jac_u"}),
             ("edit_distance", "q146_edit_distance_near_dup",
              {"left_id": "left_id", "right_id": "right_id",
               "edit_dist": "edit_dist", "sim_u": "sim_u"}),
@@ -987,8 +991,16 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("max_chars", "long"), ("matches_full", "boolean"),
          ("old_count", "long"), ("new_count", "long"),
          ("clean", "boolean"), ("n_added", "long"),
-         ("n_changed", "long"), ("n_removed", "long")],
+         ("n_changed", "long"), ("n_removed", "long"),
+         ("file_id", "long"), ("size_bytes", "long"),
+         ("is_small", "boolean"), ("bin", "long"),
+         ("disposition", "string"), ("bin_fill", "long")],
         [
+            ("compaction_plan", "q195_compaction_planner",
+             {"file_id": "file_id", "size_bytes": "size_bytes",
+              "doc_count": "n_docs", "is_small": "is_small",
+              "bin": "bin", "disposition": "disposition",
+              "bin_fill": "bin_fill"}),
             ("merkle_diff", "q172_merkle_snapshot_diff",
              {"doc_id_bucket": "leaf", "old_count": "old_count",
               "new_count": "new_count", "clean": "clean",

@@ -41,6 +41,7 @@ import sparkextract.queries.round5u  # noqa: F401
 import sparkextract.queries.round5v  # noqa: F401
 import sparkextract.queries.round5w  # noqa: F401
 import sparkextract.queries.round5x  # noqa: F401
+import sparkextract.queries.round5y  # noqa: F401
 import sparkextract.queries.text  # noqa: F401
 import sparkextract.queries.text2  # noqa: F401
 import sparkextract.queries.vector  # noqa: F401

@@ -347,8 +347,13 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("bucket", "long"), ("n_cum", "long"), ("v_cum", "long"),
          ("beta", "double"), ("o0", "long"), ("o1", "long"),
          ("e0", "double"), ("e1", "double"), ("chi2_lang", "double"),
-         ("chi2_total", "double"), ("dof", "long")],
+         ("chi2_total", "double"), ("dof", "long"),
+         ("part", "string"), ("n_exact", "long"), ("k_eff", "long"),
+         ("kth_min", "long"), ("est_kmv", "double")],
         [
+            ("kmv_theta", "q196_kmv_theta_sketch",
+             {"part": "part", "n_exact": "n_exact", "k_eff": "k_eff",
+              "kth_min": "kth_min", "est_kmv": "est"}),
             ("chi_square_drift", "q193_chi_square_drift",
              {"lang": "lang", "o0": "o0", "o1": "o1", "e0": "e0",
               "e1": "e1", "chi2_lang": "chi2_lang",
@@ -396,8 +401,15 @@ PANEL_SPECS: dict[str, tuple[list[tuple[str, str]], list[tuple[str, str, dict]]]
          ("n_keep", "long"), ("n_folds", "long"), ("keep_rate_u", "long"),
          ("se_u", "long"), ("ci_lo_u", "long"), ("ci_hi_u", "long"),
          ("r", "long"), ("n_eff", "long"), ("boot_mean", "double"),
-         ("ci_lo", "double"), ("ci_hi", "double")],
+         ("ci_lo", "double"), ("ci_hi", "double"), ("v", "long"),
+         ("cum_a", "long"), ("cum_b", "long"), ("gap_u", "long"),
+         ("n_a", "long"), ("n_b", "long"), ("ks_u", "long"),
+         ("ks_scaled", "double")],
         [
+            ("ks_two_sample", "q197_ks_two_sample",
+             {"v": "v", "cum_a": "cum_a", "cum_b": "cum_b",
+              "gap_u": "gap_u", "n_a": "n_a", "n_b": "n_b",
+              "ks_u": "ks_u", "ks_scaled": "ks_scaled"}),
             ("poisson_bootstrap", "q191_poisson_bootstrap",
              {"r": "r", "n_eff": "n_eff", "boot_mean": "boot_mean",
               "ci_lo": "ci_lo", "ci_hi": "ci_hi"}),

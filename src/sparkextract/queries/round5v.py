@@ -48,7 +48,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sparkextract.queries.base import load, md5_bucket, md5_bucket_sql, register
+from sparkextract.queries.base import (
+    checkpoint_memo,
+    load,
+    md5_bucket,
+    md5_bucket_sql,
+    register,
+)
 
 # ---------------------------------------------------------------------
 # q188
@@ -187,13 +193,12 @@ GROUP BY i.doc_id
 """
 
 
-@register("q189_kneser_ney_lm", oracle=_Q189_ORACLE)
-def q189_kneser_ney_lm(spark, sf_dir):
+def _q189_inst(spark, sf_dir):
     words = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("w"),
     )
-    inst = words.select(
+    return words.select(
         "doc_id",
         F.explode(
             F.zip_with(
@@ -203,7 +208,24 @@ def q189_kneser_ney_lm(spark, sf_dir):
             )
         ).alias("ab"),
     ).select("doc_id", F.col("ab.a").alias("a"), F.col("ab.b").alias("b"))
-    big = inst.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+
+
+@register("q189_kneser_ney_lm", oracle=_Q189_ORACLE)
+def q189_kneser_ney_lm(spark, sf_dir):
+    inst = _q189_inst(spark, sf_dir)
+    # the bigram count table feeds FOUR sibling subtrees (left stats,
+    # right stats, the type total, and the LM join); without eager
+    # materialization each one re-scans and re-explodes the corpus
+    # (PLANS.md showed 5 scans). It is vocab^2-bounded, far smaller
+    # than the corpus — the exact case checkpoint_memo exists for.
+    big = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q189_bigrams",
+        lambda: _q189_inst(spark, sf_dir)
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c_ab")),
+    )
     left_stats = big.groupBy("a").agg(
         F.sum("c_ab").cast("long").alias("c_a"),
         F.count("*").cast("long").alias("n1f"),

@@ -46,7 +46,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sparkextract.queries.base import load, md5_bucket_sql, register
+from sparkextract.queries.base import (
+    checkpoint_memo,
+    load,
+    md5_bucket_sql,
+    register,
+)
 
 # ---------------------------------------------------------------------
 # q196
@@ -122,8 +127,7 @@ SELECT part, n_exact, k_eff, kth_min, est FROM inter
 """
 
 
-@register("q196_kmv_theta_sketch", oracle=_Q196_ORACLE)
-def q196_kmv_theta_sketch(spark, sf_dir):
+def _q196_hv(spark, sf_dir):
     from sparkextract.queries.base import md5_bucket
 
     toks = (
@@ -135,10 +139,21 @@ def q196_kmv_theta_sketch(spark, sf_dir):
         .filter(F.col("t") != "")
         .distinct()
     )
-    hv = toks.select(
+    return toks.select(
         "half",
         F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long").alias("h"),
     ).distinct()
+
+
+@register("q196_kmv_theta_sketch", oracle=_Q196_ORACLE)
+def q196_kmv_theta_sketch(spark, sf_dir):
+    # the distinct hash universe feeds the sketch build, the exact
+    # counts, and the exact-intersection audit (4 sibling subtrees);
+    # eager materialization keeps it ONE corpus scan (PLANS.md showed
+    # 6 scans / 18 shuffles without it). The frame is vocab-sized.
+    hv = checkpoint_memo(
+        spark, sf_dir, "q196_hv", lambda: _q196_hv(spark, sf_dir)
+    )
     w1 = Window.partitionBy("half", F.col("h") % _Q196_BUCKETS).orderBy(F.asc("h"))
     lvl1 = (
         hv.withColumn("rn", F.row_number().over(w1))
@@ -146,9 +161,13 @@ def q196_kmv_theta_sketch(spark, sf_dir):
         .drop("rn")
     )
     w2 = Window.partitionBy("half").orderBy(F.asc("h"))
-    sketch = (
-        lvl1.withColumn("rn2", F.row_number().over(w2))
-        .filter(F.col("rn2") <= _Q196_K)
+    sketch = checkpoint_memo(
+        spark,
+        sf_dir,
+        "q196_sketch",
+        lambda: lvl1.withColumn("rn2", F.row_number().over(w2)).filter(
+            F.col("rn2") <= _Q196_K
+        ),
     )
     kth = sketch.groupBy("half").agg(
         F.max("h").cast("long").alias("kth_min"),

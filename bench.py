@@ -99,6 +99,10 @@ HEADLINE = [
     "q159_soft_dedup_weights",
     "q172_merkle_snapshot_diff",
     "q179_misra_gries_heavy_hitters",
+    "q189_kneser_ney_lm",
+    "q194_sorted_neighborhood",
+    "q196_kmv_theta_sketch",
+    "q198_cuckoo_filter_probe",
 ]
 
 

@@ -197,51 +197,62 @@ def _q210_bands(sig_df):
     )
 
 
+def _q210_feat(df):
+    """One pass per side: (doc_id, band sigs, trigram set, k-gram set).
+    Everything downstream (signature bands, the Jaccard verify, the
+    exact-tier proof) reads THIS frame, so each side costs exactly one
+    corpus scan (the un-memoized form showed 9 scans in PLANS.md)."""
+    tri = _q210_tri(F.col("w"))
+    return df.select(
+        "doc_id",
+        *_q210_sig_cols(tri),
+        F.array_distinct(tri).alias("ts"),
+        F.array_distinct(_q210_kgrams(F.col("w"), _Q210_EXACT_K)).alias("ks"),
+    )
+
+
 @register("q210_fuzzy_decontamination", oracle=_Q210_ORACLE)
 def q210_fuzzy_decontamination(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    is_eval = md5_bucket(F.col("doc_id"), _Q210_EVAL_BUCKETS) == 0
-    ev = docs.filter(is_eval).select("doc_id", _q210_words().alias("w"))
-    corpus = (
-        docs.filter(~is_eval)
-        .select("doc_id", _q210_words().alias("w"))
-        .unionByName(
-            ev.select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
-                _q210_perturb(F.col("w")).alias("w"),
+    from sparkextract.queries.base import checkpoint_memo
+
+    def build(side):
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        is_eval = md5_bucket(F.col("doc_id"), _Q210_EVAL_BUCKETS) == 0
+        ev = docs.filter(is_eval).select("doc_id", _q210_words().alias("w"))
+        if side == "ev":
+            return _q210_feat(ev)
+        corpus = (
+            docs.filter(~is_eval)
+            .select("doc_id", _q210_words().alias("w"))
+            .unionByName(
+                ev.select(
+                    (F.col("doc_id") + 5000000).alias("doc_id"),
+                    _q210_perturb(F.col("w")).alias("w"),
+                )
             )
         )
+        return _q210_feat(corpus)
+
+    ev_feat = checkpoint_memo(spark, sf_dir, "q210_ev", lambda: build("ev"))
+    corpus_feat = checkpoint_memo(
+        spark, sf_dir, "q210_corpus", lambda: build("corpus")
     )
-    esig = (
-        ev.filter(F.size("w") >= 3)
-        .select("doc_id", _q210_tri(F.col("w")).alias("tri"))
-        .select("doc_id", *_q210_sig_cols(F.col("tri")))
-    )
-    csig = (
-        corpus.filter(F.size("w") >= 3)
-        .select("doc_id", _q210_tri(F.col("w")).alias("tri"))
-        .select("doc_id", *_q210_sig_cols(F.col("tri")))
-    )
-    eb = _q210_bands(esig).select(
+    has_sig = F.size("ts") > 0
+    eb = _q210_bands(ev_feat.filter(has_sig)).select(
         F.col("doc_id").alias("eval_id"), "band", "sig"
     )
-    cb = _q210_bands(csig).select(
+    cb = _q210_bands(corpus_feat.filter(has_sig)).select(
         F.col("doc_id").alias("corpus_id"), "band", "sig"
     )
     cand = cb.join(F.broadcast(eb), ["band", "sig"]).select(
         "corpus_id", "eval_id"
     ).distinct()
-    tri_sets = corpus.unionByName(ev).select(
-        "doc_id",
-        F.array_distinct(_q210_tri(F.col("w"))).alias("ts"),
-        F.array_distinct(_q210_kgrams(F.col("w"), _Q210_EXACT_K)).alias("ks"),
-    )
-    a = tri_sets.select(
+    a = corpus_feat.select(
         F.col("doc_id").alias("corpus_id"),
         F.col("ts").alias("ts_a"),
         F.col("ks").alias("ks_a"),
     )
-    b = tri_sets.select(
+    b = ev_feat.select(
         F.col("doc_id").alias("eval_id"),
         F.col("ts").alias("ts_b"),
         F.col("ks").alias("ks_b"),

@@ -51,6 +51,7 @@ import sparkextract.queries.round5af  # noqa: F401
 import sparkextract.queries.round5ag  # noqa: F401
 import sparkextract.queries.round5ah  # noqa: F401
 import sparkextract.queries.round5ai  # noqa: F401
+import sparkextract.queries.round5aj  # noqa: F401
 import sparkextract.queries.round5z  # noqa: F401
 import sparkextract.queries.text  # noqa: F401
 import sparkextract.queries.text2  # noqa: F401
